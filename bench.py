@@ -1,0 +1,72 @@
+"""Benchmark: self-supervised GeoNet train-step throughput on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: the canonical KITTI 128x416 self-supervised step (DispNetS +
+PoseNet + 4-scale rigid-warp photometric loss + Adam), per
+`/root/reference/models/baseline.py:51-108`. "frames" counts every image a
+step consumes (batch x 3-frame snippet). vs_baseline is against the
+north-star target of 5000 frames/sec/chip (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+NORTH_STAR_FPS = 5000.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    from sndepth_tpu.core.config import GeoNetConfig
+    from sndepth_tpu.train import geonet
+
+    # Larger batch than the reference's 4 to fill the chip; throughput is
+    # measured per-frame so this is an honest frames/sec/chip number.
+    batch = 32
+    config = GeoNetConfig(batch_size=batch, compute_dtype=jnp.bfloat16)
+
+    rng = np.random.RandomState(0)
+    h, w = config.img_height, config.img_width
+    batch_data = {
+        "tgt": jnp.asarray(
+            rng.randint(0, 256, (batch, h, w, 3), dtype=np.uint8)),
+        "src": jnp.asarray(
+            rng.randint(0, 256, (batch, h, w, 6), dtype=np.uint8)),
+        "intrinsics": jnp.asarray(np.tile(
+            np.array([[[241.0, 0, 208.0], [0, 246.0, 64.0], [0, 0, 1]]],
+                     np.float32), (batch, 1, 1))),
+    }
+
+    state = geonet.create_train_state(config)
+    step = geonet.make_train_step(config)
+
+    # Warmup / compile.
+    state, metrics = step(state, batch_data)
+    jax.block_until_ready(metrics)
+    state, metrics = step(state, batch_data)
+    jax.block_until_ready(metrics)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch_data)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    frames_per_step = batch * config.sequence_length
+    fps = frames_per_step * iters / dt
+    print(json.dumps({
+        "metric": "geonet_selfsup_train_throughput_128x416",
+        "value": round(fps, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / NORTH_STAR_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

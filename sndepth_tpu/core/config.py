@@ -1,0 +1,62 @@
+"""Typed configuration tree for the framework.
+
+The reference scatters configuration across per-script argparse parsers and
+inline dicts (survey §5); here every workload has one frozen dataclass whose
+defaults reproduce the reference's (`/root/reference/models/baseline.py:43-123`
+for GeoNet).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class GeoNetConfig:
+    """Self-supervised depth+pose training config (reference defaults)."""
+
+    # Workload shape (`baseline.py:51-66`)
+    sequence_length: int = 3
+    batch_size: int = 4
+    img_height: int = 128
+    img_width: int = 416
+    num_scales: int = 4
+    seed: int = 8964
+    epochs: int = 30
+
+    # Loss hyperparameters (`baseline.py:95-100`)
+    simi_alpha: float = 0.85
+    loss_weight_rigid_warp: float = 1.0
+    loss_weight_disparity_smooth: float = 0.5
+
+    # Optimizer (`baseline.py:101-108`)
+    learning_rate: float = 2e-4
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    weight_decay: float = 0.0
+
+    # TPU-specific knobs (no reference counterpart)
+    compute_dtype: Any = jnp.bfloat16
+    use_fused_warp_ssim_kernel: bool = True
+
+    @property
+    def num_source(self) -> int:
+        return self.sequence_length - 1
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh axes for pjit sharding (survey §2.9).
+
+    The reference is single-node ``DataParallel``; here data-parallel is the
+    primary axis, with an optional model axis reserved for sharding wide
+    attention/conv channels in the VAE / BEVFormer stacks.
+    """
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    data_parallel: int = -1      # -1 = all remaining devices
+    model_parallel: int = 1

@@ -1,0 +1,140 @@
+"""DispNetS: multi-scale disparity encoder-decoder (TPU-native, NHWC).
+
+Same topology and output parameterization as the reference
+(`/root/reference/models/DispNetS.py:42-136`): a 7-level stride-2 conv
+encoder (each level = stride-2 conv + stride-1 conv, ReLU), a 7-level
+transposed-conv decoder with encoder skip connections, and sigmoid disparity
+heads at the finest 4 scales parameterized as ``alpha * sigmoid + beta``
+(alpha=10, beta=0.01).
+
+TPU-first design notes:
+* NHWC layout and optional bfloat16 compute (params stay f32); disparity
+  heads are computed in f32 so the ``1/disp`` depths feeding the warp loss
+  stay well-conditioned.
+* All shapes are static; the whole net is one XLA program. With 128x416
+  inputs every spatial dim stays even, so the reference's ``crop_like``
+  padding fix-ups are exact no-ops and are handled by slicing only when
+  shapes actually mismatch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_xavier = nn.initializers.xavier_uniform()
+
+
+class _DownBlock(nn.Module):
+    features: int
+    kernel: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.Conv(self.features, (self.kernel, self.kernel), strides=(2, 2),
+                    padding="SAME", dtype=self.dtype, kernel_init=_xavier)(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    padding="SAME", dtype=self.dtype, kernel_init=_xavier)(x)
+        return nn.relu(x)
+
+
+class _UpConv(nn.Module):
+    features: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.ConvTranspose(self.features, (3, 3), strides=(2, 2),
+                             padding="SAME", dtype=self.dtype,
+                             kernel_init=_xavier)(x)
+        return nn.relu(x)
+
+
+class _IConv(nn.Module):
+    features: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
+                    kernel_init=_xavier)(x)
+        return nn.relu(x)
+
+
+def _crop_like(x: Array, ref: Array) -> Array:
+    if x.shape[1] == ref.shape[1] and x.shape[2] == ref.shape[2]:
+        return x
+    return x[:, :ref.shape[1], :ref.shape[2], :]
+
+
+def _upsample2x(x: Array) -> Array:
+    """Bilinear 2x upsample (align_corners=False), NHWC."""
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="bilinear")
+
+
+class DispNetS(nn.Module):
+    """4-scale disparity network. Input NHWC in [-1, 1]; outputs are
+    (disp1, disp2, disp3, disp4) each (B, H/2^s, W/2^s, 1), finest first."""
+
+    alpha: float = 10.0
+    beta: float = 0.01
+    enc_planes: Sequence[int] = (32, 64, 128, 256, 512, 512, 512)
+    dec_planes: Sequence[int] = (512, 512, 256, 128, 64, 32, 16)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> tuple[Array, Array, Array, Array]:
+        x = x.astype(self.dtype)
+        ep, dp = self.enc_planes, self.dec_planes
+        kernels = (7, 5, 3, 3, 3, 3, 3)
+
+        feats = []
+        h = x
+        for planes, k in zip(ep, kernels):
+            h = _DownBlock(planes, k, self.dtype)(h)
+            feats.append(h)
+        c1, c2, c3, c4, c5, c6, c7 = feats
+
+        def disp_head(h: Array) -> Array:
+            # f32 head: sigmoid disparity feeds 1/d — keep full precision.
+            d = nn.Conv(1, (3, 3), padding="SAME", dtype=jnp.float32,
+                        kernel_init=_xavier)(h.astype(jnp.float32))
+            return self.alpha * nn.sigmoid(d) + self.beta
+
+        u7 = _crop_like(_UpConv(dp[0], self.dtype)(c7), c6)
+        i7 = _IConv(dp[0], self.dtype)(jnp.concatenate([u7, c6], -1))
+
+        u6 = _crop_like(_UpConv(dp[1], self.dtype)(i7), c5)
+        i6 = _IConv(dp[1], self.dtype)(jnp.concatenate([u6, c5], -1))
+
+        u5 = _crop_like(_UpConv(dp[2], self.dtype)(i6), c4)
+        i5 = _IConv(dp[2], self.dtype)(jnp.concatenate([u5, c4], -1))
+
+        u4 = _crop_like(_UpConv(dp[3], self.dtype)(i5), c3)
+        i4 = _IConv(dp[3], self.dtype)(jnp.concatenate([u4, c3], -1))
+        disp4 = disp_head(i4)
+
+        u3 = _crop_like(_UpConv(dp[4], self.dtype)(i4), c2)
+        d4_up = _crop_like(_upsample2x(disp4), c2).astype(self.dtype)
+        i3 = _IConv(dp[4], self.dtype)(jnp.concatenate([u3, c2, d4_up], -1))
+        disp3 = disp_head(i3)
+
+        u2 = _crop_like(_UpConv(dp[5], self.dtype)(i3), c1)
+        d3_up = _crop_like(_upsample2x(disp3), c1).astype(self.dtype)
+        i2 = _IConv(dp[5], self.dtype)(jnp.concatenate([u2, c1, d3_up], -1))
+        disp2 = disp_head(i2)
+
+        u1 = _crop_like(_UpConv(dp[6], self.dtype)(i2), x)
+        d2_up = _crop_like(_upsample2x(disp2), x).astype(self.dtype)
+        i1 = _IConv(dp[6], self.dtype)(jnp.concatenate([u1, d2_up], -1))
+        disp1 = disp_head(i1)
+
+        return disp1, disp2, disp3, disp4

@@ -1,0 +1,87 @@
+"""Differentiable image warping (TPU-native, NHWC).
+
+Re-design of the reference's hand-rolled gather sampler
+(`/root/reference/utils/utils_edited.py:386-486`). The sampling *semantics*
+are reproduced exactly — including the out-of-bounds behavior that falls out
+of its clamped-index weight construction:
+
+  x0 = floor(x); x1 = x0 + 1; both clamped to [0, W-1]
+  wt_x0 = x1_clamped - x;  wt_x1 = x - x0_clamped
+
+For in-bounds coordinates the four weights sum to 1 (standard bilinear); for
+coordinates more than one pixel outside the border both clamped indices
+coincide and the weights sum to 0, so the output is exactly 0 ("points
+falling outside the source image boundary have value 0").
+
+Implementation is a single advanced-indexing gather per tap — XLA lowers this
+to a fused dynamic-gather; no flat-index bookkeeping needed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def bilinear_sampler(imgs: Array, coords: Array) -> Array:
+    """Bilinearly sample ``imgs`` at pixel coordinates ``coords``.
+
+    imgs: (B, Hs, Ws, C); coords: (B, Ht, Wt, 2) with channels (x, y) in
+    source-pixel units. Returns (B, Ht, Wt, C).
+    """
+    b, hs, ws, _ = imgs.shape
+    coords_x = coords[..., 0]
+    coords_y = coords[..., 1]
+
+    x0 = jnp.floor(coords_x)
+    y0 = jnp.floor(coords_y)
+    x1 = x0 + 1.0
+    y1 = y0 + 1.0
+
+    x_max = jnp.asarray(ws - 1, imgs.dtype)
+    y_max = jnp.asarray(hs - 1, imgs.dtype)
+    x0s = jnp.clip(x0, 0.0, x_max)
+    x1s = jnp.clip(x1, 0.0, x_max)
+    y0s = jnp.clip(y0, 0.0, y_max)
+    y1s = jnp.clip(y1, 0.0, y_max)
+
+    wt_x0 = x1s - coords_x
+    wt_x1 = coords_x - x0s
+    wt_y0 = y1s - coords_y
+    wt_y1 = coords_y - y0s
+
+    x0i = x0s.astype(jnp.int32)
+    x1i = x1s.astype(jnp.int32)
+    y0i = y0s.astype(jnp.int32)
+    y1i = y1s.astype(jnp.int32)
+
+    bidx = jnp.arange(b, dtype=jnp.int32)[:, None, None]
+    im00 = imgs[bidx, y0i, x0i]
+    im01 = imgs[bidx, y1i, x0i]
+    im10 = imgs[bidx, y0i, x1i]
+    im11 = imgs[bidx, y1i, x1i]
+
+    w00 = (wt_x0 * wt_y0)[..., None]
+    w01 = (wt_x0 * wt_y1)[..., None]
+    w10 = (wt_x1 * wt_y0)[..., None]
+    w11 = (wt_x1 * wt_y1)[..., None]
+
+    return w00 * im00 + w01 * im01 + w10 * im10 + w11 * im11
+
+
+def flow_warp(src_img: Array, flow: Array) -> Array:
+    """Warp ``src_img`` by per-pixel 2D ``flow`` (both NHWC).
+
+    src_img: (B, H, W, C); flow: (B, H, W, 2). Matches
+    `utils_edited.py:386-399`: target grid + flow sampled from the source.
+    """
+    b, h, w, _ = src_img.shape
+    xs = jnp.arange(w, dtype=flow.dtype)
+    ys = jnp.arange(h, dtype=flow.dtype)
+    grid = jnp.stack(
+        [jnp.broadcast_to(xs[None, :], (h, w)),
+         jnp.broadcast_to(ys[:, None], (h, w))], axis=-1)
+    coords = grid[None] + flow
+    return bilinear_sampler(src_img, coords)
