@@ -1,0 +1,58 @@
+"""Full-train-state checkpointing (Orbax).
+
+The reference saves bare module state_dicts every 5000 iters
+(`/root/reference/models/baseline.py:1218-1232`) and cannot truly resume
+(no optimizer state or RNG — survey §5). Here a checkpoint is the complete
+train-state pytree: params + optimizer state + step + RNG key, so resume is
+bit-exact.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def save_checkpoint(ckpt_dir: str, state: Any, step: int,
+                    keep: int = 5) -> str:
+    """Save ``state`` under ``ckpt_dir/<step>``. Returns the path."""
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(ckpt_dir, str(step))
+    ckptr = ocp.StandardCheckpointer()
+    state = jax.device_get(state)
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+    _prune(ckpt_dir, keep)
+    return path
+
+
+def latest_step(ckpt_dir: str) -> int | None:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [int(d) for d in os.listdir(ckpt_dir) if d.isdigit()]
+    return max(steps) if steps else None
+
+
+def restore_checkpoint(ckpt_dir: str, target: Any, step: int | None = None
+                       ) -> Any:
+    """Restore into the structure of ``target`` (a template train state)."""
+    if step is None:
+        step = latest_step(ckpt_dir)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
+    path = os.path.join(os.path.abspath(ckpt_dir), str(step))
+    ckptr = ocp.StandardCheckpointer()
+    template = jax.tree_util.tree_map(np.asarray, jax.device_get(target))
+    return ckptr.restore(path, template)
+
+
+def _prune(ckpt_dir: str, keep: int) -> None:
+    steps = sorted(int(d) for d in os.listdir(ckpt_dir) if d.isdigit())
+    for s in steps[:-keep]:
+        import shutil
+        shutil.rmtree(os.path.join(ckpt_dir, str(s)), ignore_errors=True)

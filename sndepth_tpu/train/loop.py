@@ -1,0 +1,75 @@
+"""Training-loop driver: data -> sharded step -> logging -> checkpoints.
+
+Replaces the reference's ``GeoNetModel.train`` epoch loop
+(`/root/reference/models/baseline.py:1236-1278`): same cadence contract
+(scalars every 100 iters, checkpoint every 5000 iters by default) but with a
+device-resident step, host prefetch, full-state checkpoints, and optional
+multi-chip data parallelism.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import jax
+
+from sndepth_tpu.core.config import GeoNetConfig
+from sndepth_tpu.data.prefetch import device_prefetch
+from sndepth_tpu.parallel import mesh as pmesh
+from sndepth_tpu.train import checkpoint as ckpt_lib
+from sndepth_tpu.train import geonet
+from sndepth_tpu.utils.logging import MetricLogger
+
+
+def train_geonet(config: GeoNetConfig, batches: Iterator[dict],
+                 max_steps: int, *, ckpt_dir: str | None = None,
+                 log_dir: str | None = None, log_every: int = 100,
+                 ckpt_every: int = 5000, resume: bool = False,
+                 use_mesh: bool = True) -> geonet.TrainState:
+    """Run ``max_steps`` train steps over ``batches``; returns final state."""
+    devices = jax.devices()
+    mesh = pmesh.make_mesh(devices) if (use_mesh and len(devices) > 1) else None
+
+    state = geonet.create_train_state(config)
+    start_step = 0
+    if resume and ckpt_dir is not None:
+        step = ckpt_lib.latest_step(ckpt_dir)
+        if step is not None:
+            state = ckpt_lib.restore_checkpoint(ckpt_dir, state, step)
+            start_step = int(state.step)
+            print(f"resumed from {ckpt_dir}/{step}")
+
+    if mesh is not None:
+        state = pmesh.replicate_state(state, mesh)
+        step_fn = pmesh.make_parallel_train_step(config, mesh)
+        batches = device_prefetch(batches, sharding=pmesh.batch_sharding(mesh))
+    else:
+        step_fn = geonet.make_train_step(config)
+        batches = device_prefetch(batches)
+
+    logger = MetricLogger(log_dir)
+    t0 = time.perf_counter()
+    metrics = {}
+    for i in range(start_step, max_steps):
+        try:
+            batch = next(batches)
+        except StopIteration:
+            print("data stream exhausted")
+            break
+        state, metrics = step_fn(state, batch)
+        step = i + 1
+        if step % log_every == 0 or step == max_steps:
+            logger.log(step, jax.device_get(metrics))
+        if ckpt_dir is not None and (step % ckpt_every == 0
+                                     or step == max_steps):
+            path = ckpt_lib.save_checkpoint(ckpt_dir, state, step)
+            print(f"checkpoint -> {path}")
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+    done = max(int(jax.device_get(state.step)) - start_step, 1)
+    fps = done * config.batch_size * config.sequence_length / dt
+    print(f"trained {done} steps in {dt:.1f}s "
+          f"({fps:.0f} frames/sec)")
+    logger.close()
+    return state
