@@ -1,0 +1,66 @@
+"""CLI: MotionFusionNet training (reference `train.py` parity).
+
+Defaults mirror the reference: Adam lr 0.01 with StepLR(3000, 0.9), batch 16,
+CE loss, per-epoch checkpoints. Falls back to a synthetic stream without a
+dataset so the pipeline runs anywhere.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description="Motion segmentation training")
+    p.add_argument("--data_dir", default="data")
+    p.add_argument("--ckpt_dir", default="checkpoints/motion")
+    p.add_argument("--batch_size", default=16, type=int)
+    p.add_argument("--epochs", default=800, type=int)
+    p.add_argument("--max_steps", default=0, type=int)
+    p.add_argument("--log_every", default=10, type=int)
+    p.add_argument("--height", default=64, type=int,
+                   help="synthetic-stream image height")
+    p.add_argument("--width", default=128, type=int)
+    args = p.parse_args(argv)
+
+    from sndepth_tpu.data.kitti_motion import (KITTIMotionDataset,
+                                               synthetic_motion_batches)
+    from sndepth_tpu.data.kitti_sequence import batch_iterator
+    from sndepth_tpu.train import checkpoint as ckpt_lib
+    from sndepth_tpu.train import motion
+
+    if os.path.isdir(os.path.join(args.data_dir, "train", "label")):
+        ds = KITTIMotionDataset(args.data_dir, train=True)
+        sample = ds[0]
+        h, w = sample["image"].shape[:2]
+        steps_per_epoch = max(len(ds) // args.batch_size, 1)
+        max_steps = args.max_steps or steps_per_epoch * args.epochs
+        batches = batch_iterator(ds, args.batch_size, shuffle=True,
+                                 loop=True)
+        print(f"training on {len(ds)} samples at {h}x{w}")
+    else:
+        h, w = args.height, args.width
+        max_steps = args.max_steps or 200
+        batches = synthetic_motion_batches(args.batch_size, h, w)
+        print("no dataset found; training on synthetic stream")
+
+    state = motion.init_motion_state(jax.random.PRNGKey(0), h, w)
+    step_fn = motion.make_train_step()
+    metrics = {}
+    for i in range(max_steps):
+        batch = next(batches)
+        state, metrics = step_fn(state, batch)
+        if (i + 1) % args.log_every == 0 or i + 1 == max_steps:
+            m = jax.device_get(metrics)
+            print(f"step {i + 1}/{max_steps} loss={float(m['loss']):.4f} "
+                  f"acc={float(m['pixel_acc']):.3f}", flush=True)
+    ckpt_lib.save_checkpoint(args.ckpt_dir, state, int(state.step))
+    print(f"checkpoint -> {args.ckpt_dir}/{int(state.step)}")
+
+
+if __name__ == "__main__":
+    main()

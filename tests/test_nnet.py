@@ -1,0 +1,188 @@
+"""Tests for the NNET normal stack: patches, canny, D2N/N2D oracles,
+encoder/decoder shapes, full pipeline."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sndepth_tpu.models import nnet as nnet_lib
+from sndepth_tpu.models.efficientnet import EfficientNetEncoder
+from sndepth_tpu.models.normal_decoder import (NormalDecoder, norm_normalize,
+                                               sample_points)
+from sndepth_tpu.ops.edges import canny_edges, propagate
+from sndepth_tpu.ops.patches import extract_patches
+
+
+def test_extract_patches_matches_oracle():
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, 8, 9, 2).astype(np.float32)
+    k, d = 3, 2
+    got = np.asarray(extract_patches(jnp.array(x), k, d))
+    assert got.shape == (1, 8, 9, 9, 2)
+    span = k + (k - 1) * (d - 1)
+    pad = (span - 1) // 2
+    xp = np.zeros((1, 8 + 2 * pad, 9 + 2 * pad, 2), np.float32)
+    xp[:, pad:-pad, pad:-pad] = x
+    for i in range(8):
+        for j in range(9):
+            taps = []
+            for di in range(k):
+                for dj in range(k):
+                    taps.append(xp[0, i + di * d, j + dj * d])
+            np.testing.assert_allclose(got[0, i, j], np.stack(taps),
+                                       atol=1e-6)
+
+
+def test_norm_normalize():
+    x = jnp.array([[3.0, 4.0, 0.0, -0.5]])
+    out = np.asarray(norm_normalize(x))
+    np.testing.assert_allclose(np.linalg.norm(out[0, :3]), 1.0, atol=1e-6)
+    # kappa = elu(-0.5) + 1 + 0.01 > 0.01
+    assert out[0, 3] > 0.01
+
+
+def test_sample_points_counts_and_uniqueness():
+    rng = jax.random.PRNGKey(0)
+    b, h, w = 2, 16, 20
+    init = jax.random.normal(rng, (b, h, w, 4))
+    rows, cols = sample_points(rng, init, None, 0.4, 0.7)
+    n = int(0.4 * h * w)
+    assert rows.shape == (b, n) and cols.shape == (b, n)
+    flat = np.asarray(rows * w + cols)
+    for i in range(b):
+        assert len(set(flat[i].tolist())) == n   # no duplicate samples
+    # Importance samples are the lowest-kappa points.
+    n_imp = int(0.7 * n)
+    kappa = np.asarray(init[..., 3].reshape(b, -1))
+    worst = set(np.argsort(-(-kappa[0]))[:n_imp].tolist())
+    got_imp = set(flat[0][:n_imp].tolist())
+    assert got_imp == set(np.argsort(kappa[0])[:n_imp].tolist()) or \
+        got_imp <= set(np.argsort(kappa[0])[:n_imp + 5].tolist())
+
+
+def test_d2n_recovers_plane_normal():
+    # Points on the plane n.x = const have LS normal parallel to n.
+    # k=9 dil=4 patches span +-16 px, so use a 48x64 image and a 17-px
+    # interior margin for the pad-free assertions.
+    b, h, w, m = 1, 48, 64, 17
+    grid = np.asarray(nnet_lib.camera_grid(b, h, w))
+    true_n = np.array([0.3, -0.2, 0.93])
+    true_n /= np.linalg.norm(true_n)
+    # depth so that points lie on plane n.(grid*z) = 1 -> z = 1/(n.grid)
+    z = 1.0 / np.einsum("bhwc,c->bhw", grid, true_n)
+    points = grid * z[..., None]
+    pre_norm = np.broadcast_to(true_n, (b, h, w, 3)).astype(np.float32)
+    norm10, angle, _ = nnet_lib.d2n_least_squares(
+        jnp.array(pre_norm), jnp.array(points, dtype=jnp.float32))
+    est = np.asarray(norm10) / 10.0
+    interior = est[:, m:-m, m:-m]
+    dots = np.einsum("bhwc,c->bhw", interior, true_n)
+    np.testing.assert_allclose(np.abs(dots), 1.0, atol=1e-3)
+    # all interior taps agree with the normal -> angle == 1
+    np.testing.assert_allclose(np.asarray(angle)[:, m:-m, m:-m], 1.0,
+                               atol=1e-5)
+
+
+def test_n2d_recovers_plane_depth():
+    b, h, w, m = 1, 48, 64, 17
+    grid = np.asarray(nnet_lib.camera_grid(b, h, w))
+    true_n = np.array([0.1, 0.2, 0.97])
+    true_n /= np.linalg.norm(true_n)
+    z = 1.0 / np.einsum("bhwc,c->bhw", grid, true_n)
+    points = (grid * z[..., None]).astype(np.float32)
+    pre_norm = np.broadcast_to(true_n, (b, h, w, 3)).astype(np.float32)
+    from sndepth_tpu.ops.patches import extract_patches as ep
+    point_patches = ep(jnp.array(points), 9, 4)
+    angle = jnp.einsum("bhwkc,bhwc->bhwk",
+                       ep(jnp.array(pre_norm), 9, 4), jnp.array(pre_norm))
+    depth = np.asarray(nnet_lib.n2d_depth(
+        jnp.array(pre_norm), jnp.array(grid, dtype=jnp.float32), angle,
+        point_patches))
+    np.testing.assert_allclose(depth[0, m:-m, m:-m, 0], z[0, m:-m, m:-m],
+                               rtol=2e-2)
+
+
+def test_canny_detects_step_edge():
+    img = np.zeros((1, 32, 32, 3), np.float32)
+    img[:, :, 16:] = 200.0
+    out = np.asarray(canny_edges(jnp.array(img)))
+    assert out.shape == (1, 32, 32, 1)
+    # Edge column ~0, flat regions ~1.
+    assert out[0, 16, 16, 0] < 0.5 or out[0, 16, 15, 0] < 0.5
+    assert out[0, 16, 4, 0] == 1.0
+    assert out[0, 16, 28, 0] == 1.0
+
+
+def test_propagate_shift_blend():
+    data = jnp.arange(6, dtype=jnp.float32).reshape(1, 2, 3, 1)
+    ones = jnp.ones((1, 2, 3, 1))
+    zeros = jnp.zeros((1, 2, 3, 1))
+    # full left->right propagation only: out = right-shifted data (0 pad).
+    out = np.asarray(propagate(data, ones, zeros, zeros, zeros))
+    want = np.array([[[0, 0, 1], [0, 3, 4]]], np.float32)[..., None]
+    np.testing.assert_allclose(out, want)
+
+
+@pytest.mark.slow
+def test_encoder_feature_shapes():
+    enc = EfficientNetEncoder()
+    x = jnp.zeros((1, 64, 96, 3))
+    variables = enc.init(jax.random.PRNGKey(0), x)
+    feats = enc.apply(variables, x)
+    assert feats["stage0"].shape == (1, 32, 48, 24)
+    assert feats["stage1"].shape == (1, 16, 24, 40)
+    assert feats["stage2"].shape == (1, 8, 12, 64)
+    assert feats["stage4"].shape == (1, 4, 6, 176)
+    assert feats["head"].shape == (1, 2, 3, 2048)
+
+
+@pytest.mark.slow
+def test_decoder_test_and_train_paths():
+    h, w = 64, 96
+    key = jax.random.PRNGKey(42)
+    ks = jax.random.split(key, 5)
+    feats = {
+        "stage0": jax.random.normal(ks[0], (1, h // 2, w // 2, 24)),
+        "stage1": jax.random.normal(ks[1], (1, h // 4, w // 4, 40)),
+        "stage2": jax.random.normal(ks[2], (1, h // 8, w // 8, 64)),
+        "stage4": jax.random.normal(ks[3], (1, h // 16, w // 16, 176)),
+        "head": jax.random.normal(ks[4], (1, h // 32, w // 32, 2048)),
+    }
+    dec = NormalDecoder()
+    rng = jax.random.PRNGKey(0)
+    variables = dec.init(rng, feats, mode="test")
+    outs, _, _ = dec.apply(variables, feats, mode="test")
+    assert [o.shape for o in outs] == [
+        (1, h // 8, w // 8, 4), (1, h // 4, w // 4, 4),
+        (1, h // 2, w // 2, 4), (1, h, w, 4)]
+    for o in outs:
+        norms = np.linalg.norm(np.asarray(o)[..., :3], axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+    outs_t, sampled, idx = dec.apply(variables, feats, mode="train",
+                                     rng=jax.random.PRNGKey(1))
+    assert sampled[1].shape[1] == int(0.4 * (h // 4) * (w // 4))
+    assert idx[1][0].shape == sampled[1].shape[:2]
+
+
+@pytest.mark.slow
+def test_nnet_full_pipeline():
+    from sndepth_tpu.ops.edges import edge_model_inputs
+    b, h, w = 1, 64, 96
+    rng = np.random.RandomState(0)
+    rgb = jnp.array(rng.rand(b, h, w, 3).astype(np.float32))
+    pre_depth = jnp.array(rng.rand(b, h, w).astype(np.float32))
+    model_in = nnet_lib.bgr_preprocess(rgb)
+    edge_in = edge_model_inputs(model_in)
+    canny = edge_in[..., :1]
+
+    net = nnet_lib.NNET()
+    variables = net.init(jax.random.PRNGKey(0), pre_depth, rgb, edge_in,
+                         canny)
+    norm, depth, _ = net.apply(variables, pre_depth, rgb, edge_in, canny)
+    assert norm.shape == (b, h, w, 3)
+    assert depth.shape == (b, h, w, 1)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(norm), axis=-1), 1.0, atol=1e-4)
+    assert np.isfinite(np.asarray(depth)).all()
