@@ -71,6 +71,42 @@ def bilinear_sampler(imgs: Array, coords: Array) -> Array:
     return w00 * im00 + w01 * im01 + w10 * im10 + w11 * im11
 
 
+def bilinear_sampler_zero_pad(imgs: Array, coords: Array) -> Array:
+    """Standard zero-padded bilinear sampling (exact at integer borders).
+
+    Unlike :func:`bilinear_sampler` (which reproduces the GeoNet
+    reference's border quirk of zeroing the exact last row/column), this
+    uses fractional-part weights and per-tap in-bounds masks: sampling at
+    integer coordinate (W-1) returns the border pixel with weight 1. Used
+    by the RAFT3D correlation lookup and depth sampler, where the CUDA
+    `corr_index_forward` / `grid_sample` semantics are the reference.
+    """
+    b, hs, ws, _ = imgs.shape
+    cx = coords[..., 0]
+    cy = coords[..., 1]
+    x0 = jnp.floor(cx)
+    y0 = jnp.floor(cy)
+    fx = cx - x0
+    fy = cy - y0
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    bidx = jnp.arange(b, dtype=jnp.int32)[:, None, None]
+
+    out = 0.0
+    for dy, wy in ((0, 1.0 - fy), (1, fy)):
+        for dx, wx in ((0, 1.0 - fx), (1, fx)):
+            xi = x0i + dx
+            yi = y0i + dy
+            valid = ((xi >= 0) & (xi <= ws - 1) &
+                     (yi >= 0) & (yi <= hs - 1))
+            tap = imgs[bidx, jnp.clip(yi, 0, hs - 1),
+                       jnp.clip(xi, 0, ws - 1)]
+            w = (wx * wy * valid.astype(imgs.dtype))[..., None]
+            out = out + w * tap
+    return out
+
+
 def flow_warp(src_img: Array, flow: Array) -> Array:
     """Warp ``src_img`` by per-pixel 2D ``flow`` (both NHWC).
 
