@@ -1,0 +1,138 @@
+"""Tests for the VAE / attention / denoiser / ViT stack."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sndepth_tpu.models.attention import (BasicTransformerBlock,
+                                          CrossAttention, LinearAttention,
+                                          SpatialTransformer,
+                                          SpatialTransformer3D)
+from sndepth_tpu.models.denoiser import (Denoiser, TimeStepEmbedding,
+                                         harmonic_embedding,
+                                         harmonic_out_dim,
+                                         timestep_embedding)
+from sndepth_tpu.models.vae import (AutoencoderKL, DiagonalGaussian,
+                                    VAEConfig, normal_kl)
+from sndepth_tpu.utils.diffusion import (extract_into_tensor,
+                                         make_beta_schedule,
+                                         make_ddim_timesteps)
+
+
+def test_diagonal_gaussian_stats():
+    rng = np.random.RandomState(0)
+    mean = rng.randn(2, 4, 4, 3).astype(np.float32)
+    logvar = rng.randn(2, 4, 4, 3).astype(np.float32)
+    moments = jnp.concatenate([jnp.array(mean), jnp.array(logvar)], -1)
+    dist = DiagonalGaussian(moments)
+    np.testing.assert_allclose(np.asarray(dist.mode()), mean)
+    # KL to standard normal: closed form check on a simple case
+    d2 = DiagonalGaussian(jnp.zeros((1, 1, 1, 2)))
+    np.testing.assert_allclose(np.asarray(d2.kl()), 0.0, atol=1e-6)
+    # sample statistics
+    samples = dist.sample(jax.random.PRNGKey(0))
+    assert samples.shape == mean.shape
+
+
+def test_normal_kl_zero_for_identical():
+    x = jnp.array([0.3, -0.1])
+    lv = jnp.array([0.2, -0.5])
+    np.testing.assert_allclose(np.asarray(normal_kl(x, lv, x, lv)), 0.0,
+                               atol=1e-7)
+
+
+@pytest.mark.slow
+def test_autoencoder_shapes_and_latent_res():
+    cfg = VAEConfig(base_ch=32, ch_mult=(1, 2, 2), num_res_blocks=1)
+    model = AutoencoderKL(cfg)
+    x = jnp.zeros((1, 32, 48, 4))
+    variables = model.init(jax.random.PRNGKey(0), x,
+                           rng=jax.random.PRNGKey(1))
+    rec, posterior = model.apply(variables, x, rng=jax.random.PRNGKey(1))
+    # 3 levels -> 1/4 latent
+    assert posterior.mean.shape == (1, 8, 12, 4)
+    assert rec.shape == (1, 32, 48, 4)
+    assert np.isfinite(np.asarray(rec)).all()
+
+
+def test_cross_attention_shapes():
+    attn = CrossAttention(heads=2, dim_head=8)
+    x = jnp.zeros((2, 5, 16))
+    ctx = jnp.zeros((2, 7, 12))
+    v = attn.init(jax.random.PRNGKey(0), x, ctx)
+    out = attn.apply(v, x, ctx)
+    assert out.shape == (2, 5, 16)
+
+
+def test_linear_attention_shapes():
+    la = LinearAttention(heads=2, dim_head=4)
+    x = jnp.zeros((1, 6, 8, 12))
+    v = la.init(jax.random.PRNGKey(0), x)
+    assert la.apply(v, x).shape == (1, 6, 8, 12)
+
+
+def test_spatial_transformer_residual_at_init():
+    # Output projection is zero-initialized -> module is identity at init.
+    st = SpatialTransformer(heads=2, dim_head=8)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 4, 4, 32), jnp.float32)
+    v = st.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(st.apply(v, x)), np.asarray(x),
+                               atol=1e-5)
+
+
+def test_spatial_transformer_3d_cross_frame():
+    st = SpatialTransformer3D(frames=2, heads=2, dim_head=8)
+    x = jnp.zeros((4, 4, 4, 32))  # (b f) = 4 with f=2
+    v = st.init(jax.random.PRNGKey(0), x)
+    assert st.apply(v, x).shape == (4, 4, 4, 32)
+
+
+def test_harmonic_embedding():
+    x = jnp.array([[0.5, -1.0]])
+    out = np.asarray(harmonic_embedding(x, n_harmonics=3))
+    assert out.shape == (1, 2 * (2 * 3 + 1))
+    np.testing.assert_allclose(out[0, 0], np.sin(0.5), atol=1e-6)
+    np.testing.assert_allclose(out[0, -2:], [0.5, -1.0], atol=1e-6)
+    assert harmonic_out_dim(9) == 189
+
+
+def test_timestep_embedding_structure():
+    emb = np.asarray(timestep_embedding(jnp.array([0.0, 5.0]), 8))
+    assert emb.shape == (2, 8)
+    np.testing.assert_allclose(emb[0, :4], 1.0)    # cos(0)
+    np.testing.assert_allclose(emb[0, 4:], 0.0, atol=1e-7)    # sin(0)
+
+
+def test_denoiser_shapes():
+    model = Denoiser(num_layers=2, d_model=64, dim_feedforward=128)
+    x = jnp.zeros((2, 4, 9))
+    t = jnp.array([3, 7])
+    z = jnp.zeros((2, 4, 384))
+    v = model.init(jax.random.PRNGKey(0), x, t, z)
+    out = model.apply(v, x, t, z)
+    assert out.shape == (2, 4, 9)
+
+
+@pytest.mark.slow
+def test_vit_extractor():
+    from sndepth_tpu.models.vit import MultiScaleImageFeatureExtractor
+    model = MultiScaleImageFeatureExtractor(scale_factors=(1.0, 0.5))
+    x = jnp.zeros((1, 64, 64, 3))
+    v = model.init(jax.random.PRNGKey(0), x)
+    feat = model.apply(v, x)
+    assert feat.shape == (1, 384)
+
+
+def test_beta_schedules():
+    for name in ("linear", "cosine", "sqrt_linear", "sqrt"):
+        betas = make_beta_schedule(name, 100)
+        assert betas.shape == (100,)
+        assert (betas >= 0).all() and (betas <= 1).all()
+    ts = make_ddim_timesteps("uniform", 10, 100)
+    assert ts.shape == (10,)
+    out = extract_into_tensor(np.arange(10.0), jnp.array([2, 5]),
+                              (2, 3, 3, 1))
+    assert out.shape == (2, 1, 1, 1)
+    np.testing.assert_allclose(np.asarray(out).ravel(), [2.0, 5.0])
