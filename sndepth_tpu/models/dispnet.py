@@ -37,12 +37,41 @@ class _DownBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        # Explicit symmetric padding: for stride-2 convs flax 'SAME' pads
+        # asymmetrically ((k-1)//2 - 1, (k-1)//2 + ...), while the torch
+        # reference pads (k-1)//2 on both sides — a one-pixel shift that
+        # breaks converted-checkpoint parity.
+        p = (self.kernel - 1) // 2
+        pad = ((p, p), (p, p))
         x = nn.Conv(self.features, (self.kernel, self.kernel), strides=(2, 2),
-                    padding="SAME", dtype=self.dtype, kernel_init=_xavier)(x)
+                    padding=pad, dtype=self.dtype, kernel_init=_xavier)(x)
         x = nn.relu(x)
         x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    padding="SAME", dtype=self.dtype, kernel_init=_xavier)(x)
+                    padding=pad, dtype=self.dtype, kernel_init=_xavier)(x)
         return nn.relu(x)
+
+
+class TorchConvTranspose2x(nn.Module):
+    """Transposed conv with torch ``ConvTranspose2d(k=3, s=2, p=1, op=1)``
+    semantics, exactly (verified to f64 precision against torch): kernel
+    (kh, kw, in, out), zero-stuffing via ``lhs_dilation=2``, padding
+    (k-1-p, k-1-p+op) = (1, 2), spatially flipped taps. Output = 2x input.
+    Exactness matters for converting reference checkpoints
+    (`sndepth_tpu/utils/convert_weights.py`)."""
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_ch = x.shape[-1]
+        k = self.param("kernel", _xavier, (3, 3, in_ch, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k[::-1, ::-1].astype(self.dtype),
+            window_strides=(1, 1), padding=((1, 2), (1, 2)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + b.astype(self.dtype)
 
 
 class _UpConv(nn.Module):
@@ -51,9 +80,7 @@ class _UpConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = nn.ConvTranspose(self.features, (3, 3), strides=(2, 2),
-                             padding="SAME", dtype=self.dtype,
-                             kernel_init=_xavier)(x)
+        x = TorchConvTranspose2x(self.features, self.dtype)(x)
         return nn.relu(x)
 
 

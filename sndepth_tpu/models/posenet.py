@@ -32,8 +32,10 @@ class PoseNet(nn.Module):
         plan = ((16, 7), (32, 5), (64, 3), (128, 3), (256, 3), (256, 3),
                 (256, 3))
         for features, k in plan:
-            x = nn.Conv(features, (k, k), strides=(2, 2), padding="SAME",
-                        dtype=self.dtype, kernel_init=_xavier)(x)
+            p = (k - 1) // 2   # torch-symmetric padding (see dispnet.py)
+            x = nn.Conv(features, (k, k), strides=(2, 2),
+                        padding=((p, p), (p, p)), dtype=self.dtype,
+                        kernel_init=_xavier)(x)
             x = nn.relu(x)
         x = nn.Conv(6 * self.num_source, (1, 1), dtype=jnp.float32,
                     kernel_init=_xavier)(x.astype(jnp.float32))

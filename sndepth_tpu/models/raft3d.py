@@ -265,13 +265,17 @@ class ConvGRU(nn.Module):
 
 class BasicUpdateBlock(nn.Module):
     """GRU + heads: embedding (ae), 3x3-of-8x8 upsample mask, delta, weight
-    (`raft3d.py:40-98`)."""
+    (`raft3d.py:40-98`). With ``bilaplacian=True``, matches the
+    `raft3d_bilaplacian.py:71-146` variant: the previous (16-ch) embedding
+    feeds the GRU, and the new embedding is smoothed by an edge-weighted
+    grid solve (GridSmoother -> CG, see grid_smoother.py)."""
     hidden_dim: int = 128
+    bilaplacian: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, net: Array, inp: Array, corr: Array, flow: Array,
-                 twist: Array, dz: Array):
+                 twist: Array, dz: Array, ae_in: Array | None = None):
         motion = jnp.concatenate([flow, 10.0 * dz, 10.0 * twist], axis=-1)
         motion = jnp.clip(motion, -50.0, 50.0)
 
@@ -285,22 +289,38 @@ class BasicUpdateBlock(nn.Module):
         mot = nn.relu(mot)
         mot = nn.Conv(3 * 128, (1, 1), dtype=self.dtype)(mot)
 
-        net = ConvGRU(self.hidden_dim, dtype=self.dtype)(net, inp, cor, mot)
+        gru_inputs = [inp, cor, mot]
+        if self.bilaplacian:
+            assert ae_in is not None
+            gru_inputs.append(nn.Conv(3 * 128, (3, 3), padding="SAME",
+                                      dtype=self.dtype,
+                                      name="ae_enc")(ae_in))
+        dilation = 3 if self.bilaplacian else 4
+        net = ConvGRU(self.hidden_dim, dilation=dilation,
+                      dtype=self.dtype)(net, *gru_inputs)
 
-        def head(features, out_ch, name, sigmoid=False):
+        def head(features, out_ch, name, sigmoid=False, softplus=False):
             h = nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype,
                         name=f"{name}_0")(net)
             h = nn.relu(h)
             h = nn.Conv(out_ch, (1, 1), dtype=jnp.float32,
                         name=f"{name}_1")(h.astype(jnp.float32))
+            h = grad_clip(h)
             if sigmoid:
                 h = nn.sigmoid(h)
-            return grad_clip(h)
+            if softplus:
+                h = nn.softplus(h)
+            return h
 
-        ae = head(256, 32, "ae")
+        ae_dim = 16 if self.bilaplacian else 32
+        ae = head(256, ae_dim, "ae")
         mask = head(256, 64 * 9, "mask")
         delta = head(256, 3, "delta")
         weight = head(256, 3, "weight", sigmoid=True)
+        if self.bilaplacian:
+            from sndepth_tpu.models.grid_smoother import GridSmoother
+            edges = 5.0 * head(256, 2, "ae_wts", softplus=True)
+            ae = GridSmoother()(ae, edges)
         return net, mask, ae, delta, weight
 
 
@@ -438,11 +458,12 @@ class _RAFTIteration(nn.Module):
     corr_radius: int
     gn_radius: int
     train_mode: bool
+    bilaplacian: bool
     dtype: Any
 
     @nn.compact
     def __call__(self, carry, const):
-        Ts, net = carry
+        Ts, net, ae_prev = carry
         (pyramid, inp, coords0, depth1_r8, depth2_r8, intrinsics_r8,
          depth1, intrinsics) = const
         Ts = jax.lax.stop_gradient(Ts)              # `raft3d.py:164`
@@ -459,8 +480,10 @@ class _RAFTIteration(nn.Module):
         twist = se3.log(Ts)
 
         net, mask, ae, delta, weight = BasicUpdateBlock(
-            hidden_dim=self.hidden_dim, dtype=self.dtype)(
-                net, inp, corr, flow, twist, dz)
+            hidden_dim=self.hidden_dim, bilaplacian=self.bilaplacian,
+            dtype=self.dtype)(
+                net, inp, corr, flow, twist, dz,
+                ae_in=ae_prev if self.bilaplacian else None)
 
         target = coords1_xyz + delta
         Ts = gauss_newton_step(Ts, ae, target, weight, depth1_r8,
@@ -475,7 +498,7 @@ class _RAFTIteration(nn.Module):
             ys = (flow2d_est, flow2d_rev, Ts_up)
         else:
             ys = mask
-        return (Ts, net), ys
+        return (Ts, net, ae), ys
 
 
 class RAFT3D(nn.Module):
@@ -486,6 +509,7 @@ class RAFT3D(nn.Module):
     corr_levels: int = 4
     corr_radius: int = 3
     gn_radius: int = 32
+    bilaplacian: bool = False   # `raft3d_bilaplacian.py` variant
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -531,10 +555,11 @@ class RAFT3D(nn.Module):
             length=iters,
         )(hidden_dim=hdim, corr_radius=self.corr_radius,
           gn_radius=self.gn_radius, train_mode=train_mode,
-          dtype=self.dtype)
+          bilaplacian=self.bilaplacian, dtype=self.dtype)
 
         Ts0 = se3.identity((b, h8, w8))
-        (Ts, net), outs = scan_mod((Ts0, net), const)
+        ae0 = jnp.zeros((b, h8, w8, 16 if self.bilaplacian else 32))
+        (Ts, net, _), outs = scan_mod((Ts0, net, ae0), const)
 
         if train_mode:
             flow_est, flow_rev, Ts_up = outs

@@ -20,6 +20,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the suite is compile-dominated (~20 min
+# cold); cached reruns cut that to minutes.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..",
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 assert jax.devices()[0].platform == "cpu", (
     "tests must run on CPU; got %s" % jax.devices()[0].platform)
 assert jax.device_count() == 8, "expected 8 virtual CPU devices"
