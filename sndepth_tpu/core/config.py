@@ -40,7 +40,9 @@ class GeoNetConfig:
 
     # TPU-specific knobs (no reference counterpart)
     compute_dtype: Any = jnp.bfloat16
-    use_fused_warp_ssim_kernel: bool = True
+    # Pallas fused-DSSIM kernel: measured at parity with XLA's own fusion
+    # (see kernels/dssim.py), so off by default in the train path.
+    use_fused_warp_ssim_kernel: bool = False
 
     @property
     def num_source(self) -> int:

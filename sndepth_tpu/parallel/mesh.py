@@ -32,6 +32,9 @@ def make_mesh(devices: Sequence[jax.Device] | None = None,
     n = len(devices)
     if data_parallel is None or data_parallel <= 0:
         data_parallel = n // model_parallel
+    if data_parallel < 1:
+        raise ValueError(
+            f"{n} device(s) cannot support model_parallel={model_parallel}")
     used = data_parallel * model_parallel
     grid = np.asarray(devices[:used]).reshape(data_parallel, model_parallel)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
