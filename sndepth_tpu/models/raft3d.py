@@ -197,8 +197,8 @@ def build_corr_pyramid(fmap1: Array, fmap2: Array,
     pyramid = [corr]
     for _ in range(num_levels - 1):
         bb, h1, w1, h2, w2 = pyramid[-1].shape
-        if h2 < 2 or w2 < 2:
-            break  # degenerate level (tiny input); stop the pyramid early
+        if h2 < 2 or w2 < 2 or h2 % 2 or w2 % 2:
+            break  # degenerate/odd level (tiny input); stop pyramid early
         pooled = pyramid[-1].reshape(bb, h1, w1, h2 // 2, 2, w2 // 2, 2)
         pyramid.append(pooled.mean(axis=(4, 6)))
     return pyramid

@@ -1,0 +1,96 @@
+"""Tests: RAFT3D train step, normal NLL loss, alt disp models, image split."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sndepth_tpu.losses.normal_loss import angular_nll
+from sndepth_tpu.train import raft3d as raft3d_train
+
+
+def test_angular_nll_prefers_correct_normals():
+    gt = jnp.array([[0.0, 0.0, 1.0]])
+    right = jnp.array([[0.0, 0.0, 1.0, 5.0]])
+    wrong = jnp.array([[1.0, 0.0, 0.0, 5.0]])
+    assert float(angular_nll(right, gt)) < float(angular_nll(wrong, gt))
+    # higher kappa is rewarded when correct, punished when wrong
+    confident = jnp.array([[0.0, 0.0, 1.0, 20.0]])
+    assert float(angular_nll(confident, gt)) < float(angular_nll(right, gt))
+    confident_wrong = jnp.array([[1.0, 0.0, 0.0, 20.0]])
+    assert float(angular_nll(confident_wrong, gt)) > float(
+        angular_nll(wrong, gt))
+
+
+def test_sequence_loss_weighting():
+    iters, b, h, w = 3, 1, 4, 6
+    gt = jnp.zeros((b, h, w, 3))
+    valid = jnp.ones((b, h, w))
+    est = jnp.ones((iters, b, h, w, 3))
+    rev = jnp.ones((iters, b, h, w, 2))
+    loss, metrics = raft3d_train.sequence_loss(est, rev, gt, valid,
+                                               gamma=0.5)
+    # per-iter est err = 1, rev err = 1; weights (0.25, 0.5, 1)
+    np.testing.assert_allclose(float(loss), 2 * (0.25 + 0.5 + 1.0),
+                               rtol=1e-5)
+    assert np.isfinite(float(metrics["epe2d"]))
+
+
+@pytest.mark.slow
+def test_raft3d_train_step_decreases_loss():
+    from sndepth_tpu.models.raft3d import RAFT3D
+    model = RAFT3D(corr_levels=2, gn_radius=8)
+    rng = np.random.RandomState(0)
+    b, h, w = 1, 32, 64
+    batch = {
+        "image1": jnp.asarray(rng.rand(b, h, w, 3), jnp.float32),
+        "image2": jnp.asarray(rng.rand(b, h, w, 3), jnp.float32),
+        "depth1": jnp.asarray(2 + rng.rand(b, h, w), jnp.float32),
+        "depth2": jnp.asarray(2 + rng.rand(b, h, w), jnp.float32),
+        "flow": jnp.zeros((b, h, w, 3)),
+        "valid": jnp.ones((b, h, w)),
+        "intrinsics": jnp.array([[40.0, 40.0, 32.0, 16.0]]),
+    }
+    state = raft3d_train.create_train_state(jax.random.PRNGKey(0), model,
+                                            (b, h, w))
+    first_kernel = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    step = raft3d_train.make_train_step(model, iters=2)
+    losses = []
+    for _ in range(3):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    # Optimization through the GN solver is noisy over 3 steps with a
+    # warmup schedule; assert the step is functional: finite losses and
+    # parameters actually moving.
+    assert np.isfinite(losses).all()
+    moved = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    assert not np.allclose(moved, first_kernel)
+    assert int(state.step) == 3
+
+
+@pytest.mark.slow
+def test_alt_disp_models():
+    from sndepth_tpu.models.dispnet_alt import DispNet, DispUNet
+    x = jnp.zeros((1, 64, 96, 3))
+    net = DispNet()
+    v = net.init(jax.random.PRNGKey(0), x)
+    disps = net.apply(v, x)
+    assert disps[0].shape == (1, 64, 96, 1)
+    dn = np.asarray(disps[0])
+    assert dn.min() >= 0.01 and dn.max() <= 10.01
+
+    unet = DispUNet(num_downs=4)
+    v = unet.init(jax.random.PRNGKey(0), x)
+    out = unet.apply(v, x)
+    assert out.shape == (1, 64, 96, 1)
+    assert np.abs(np.asarray(out)).max() <= 1.0
+
+
+def test_image_split():
+    from sndepth_tpu.cli.image_split import split_image
+    img = np.arange(4 * 1280 * 3, dtype=np.uint8).reshape(4, 1280, 3)
+    crops = split_image(img, 768)
+    assert len(crops) == 3
+    assert all(c.shape == (4, 768, 3) for c in crops)
+    np.testing.assert_array_equal(crops[0], img[:, :768])
+    np.testing.assert_array_equal(crops[2], img[:, -768:])
