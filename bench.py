@@ -27,7 +27,9 @@ def main() -> None:
 
     # Larger batch than the reference's 4 to fill the chip; throughput is
     # measured per-frame so this is an honest frames/sec/chip number.
-    batch = 32
+    # Swept 16/32/64/128/256 on v5e: 128 is the HBM-limited sweet spot
+    # (256 OOMs without remat).
+    batch = 128
     config = GeoNetConfig(batch_size=batch, compute_dtype=jnp.bfloat16)
 
     rng = np.random.RandomState(0)
