@@ -32,6 +32,16 @@ class GeoNetConfig:
     loss_weight_rigid_warp: float = 1.0
     loss_weight_disparity_smooth: float = 0.5
 
+    # Full-flow training mode (`baseline.py:49` train_flow + the GeoNet
+    # stage-2 loss constants preserved at `baseline.py:110-116`)
+    train_flow: bool = False
+    flow_scale_factor: float = 0.1
+    geometric_consistency_alpha: float = 3.0
+    geometric_consistency_beta: float = 0.05
+    loss_weight_full_warp: float = 1.0
+    loss_weight_full_smooth: float = 0.2
+    loss_weight_geometrical_consistency: float = 0.2
+
     # Optimizer (`baseline.py:101-108`)
     learning_rate: float = 2e-4
     adam_beta1: float = 0.9

@@ -165,9 +165,13 @@ class TrackStage:
     """UniAD track + DINO features + pose Denoiser
     (`predict_vae_uniad.py:57-68`)."""
 
-    def __init__(self, num_cams: int = 1, image_hw=(64, 64)):
+    def __init__(self, num_cams: int = 1, image_hw=(64, 64),
+                 vit_depth: int = 4):
+        """``vit_depth`` < 12 shrinks the DINO-style extractor for smoke
+        runs; the full-scale extractor is ``ViT()`` defaults."""
         from sndepth_tpu.models.uniad_track import UniADTrack
-        from sndepth_tpu.models.vit import MultiScaleImageFeatureExtractor
+        from sndepth_tpu.models.vit import (MultiScaleImageFeatureExtractor,
+                                            ViT)
         from sndepth_tpu.models.denoiser import get_opt_model
 
         self.track_model = UniADTrack(
@@ -192,8 +196,11 @@ class TrackStage:
         self.track_vars = self.track_model.init(
             jax.random.PRNGKey(0), imgs, l2i, _mk_state())
 
-        self.feat_model = MultiScaleImageFeatureExtractor(
-            scale_factors=(1.0, 0.5))
+        class _SmallExtractor(MultiScaleImageFeatureExtractor):
+            def setup(self):
+                self.net = ViT(depth=vit_depth)
+
+        self.feat_model = _SmallExtractor(scale_factors=(1.0, 0.5))
         self.feat_vars = self.feat_model.init(
             jax.random.PRNGKey(1), jnp.zeros((1, h, w, 3)))
 

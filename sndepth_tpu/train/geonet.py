@@ -47,18 +47,30 @@ def build_models(config: GeoNetConfig) -> tuple[DispNetS, PoseNet]:
     return disp_net, pose_net
 
 
+def build_flow_net(config: GeoNetConfig):
+    from sndepth_tpu.models.flownet import FlowNet
+    return FlowNet(flow_scale_factor=config.flow_scale_factor,
+                   dtype=config.compute_dtype)
+
+
 @functools.partial(jax.jit, static_argnums=1)
 def init_params(rng: Array, config: GeoNetConfig) -> dict:
-    """Initialize both nets. Jitted: flax eager init issues hundreds of tiny
+    """Initialize the nets. Jitted: flax eager init issues hundreds of tiny
     ops, which is pathological over a remote-device tunnel; one compiled
     program initializes everything in a single dispatch."""
     disp_net, pose_net = build_models(config)
     h, w = config.img_height, config.img_width
-    rng_d, rng_p = jax.random.split(rng)
+    rng_d, rng_p, rng_f = jax.random.split(rng, 3)
     disp_vars = disp_net.init(rng_d, jnp.zeros((1, h, w, 3), jnp.float32))
     pose_vars = pose_net.init(
         rng_p, jnp.zeros((1, h, w, 3 * (1 + config.num_source)), jnp.float32))
-    return {"disp": disp_vars["params"], "pose": pose_vars["params"]}
+    params = {"disp": disp_vars["params"], "pose": pose_vars["params"]}
+    if config.train_flow:
+        # 12 input channels: tgt(3) + src(3) + warp(3) + flow(2) + |err|(1)
+        flow_vars = build_flow_net(config).init(
+            rng_f, jnp.zeros((1, h, w, 12), jnp.float32))
+        params["flow"] = flow_vars["params"]
+    return params
 
 
 def preprocess_batch(batch: dict) -> dict:
@@ -119,6 +131,8 @@ def geonet_loss(params: dict, batch: dict, config: GeoNetConfig
 
     loss_rigid_warp = 0.0
     loss_disp_smooth = 0.0
+    fwd_flows, bwd_flows = [], []
+    fwd_warps, fwd_errs = [], []
     for s in range(cfg.num_scales):
         k_s = jnp.tile(ms_intrinsics[:, s], (ns, 1, 1))
         tgt_depth = jnp.tile(depths[s][:b], (ns, 1, 1))
@@ -139,12 +153,102 @@ def geonet_loss(params: dict, batch: dict, config: GeoNetConfig
         all_views = jnp.concatenate([tgt_pyr[s], src_pyr[s]], axis=0)
         loss_disp_smooth += (cfg.loss_weight_disparity_smooth / (2 ** s) *
                              smooth_loss(depths[s][..., None], all_views))
+        fwd_flows.append(fwd_flow)
+        bwd_flows.append(bwd_flow)
+        fwd_warps.append(fwd_warp)
+        fwd_errs.append(fwd_err)
 
     total = loss_rigid_warp + loss_disp_smooth
-    aux = {"loss_total": total,
-           "loss_rigid_warp": loss_rigid_warp,
+    aux = {"loss_rigid_warp": loss_rigid_warp,
            "loss_disp_smooth": loss_disp_smooth}
+
+    if cfg.train_flow:
+        flow_losses = _full_flow_losses(
+            params, cfg, tgt_tile_pyr, src_pyr, fwd_flows, bwd_flows,
+            fwd_warps, fwd_errs)
+        total = total + (flow_losses["loss_full_warp"] +
+                         flow_losses["loss_full_smooth"] +
+                         flow_losses["loss_geometric_consistency"])
+        aux.update(flow_losses)
+
+    aux["loss_total"] = total
     return total, aux
+
+
+def _full_flow_losses(params, cfg, tgt_tile_pyr, src_pyr, fwd_rigid,
+                      bwd_rigid, fwd_warps, fwd_errs):
+    """Stage-2 GeoNet: residual FlowNet + full-flow warp/smooth/consistency
+    losses. Mirrors the loss structure preserved in the reference
+    (`baseline.py:988-1059` build_flownet/build_full_warp_flow and
+    `baseline.py:1063-1158` mask construction), with one fix: the fwd/bwd
+    halves of the FlowNet output batch are split [:B*ns] / [B*ns:] instead
+    of reusing the first half for both."""
+    from sndepth_tpu.losses.photometric import flow_smooth_loss
+    from sndepth_tpu.ops.ssim import image_similarity as img_sim
+
+    flow_net = build_flow_net(cfg)
+    n = tgt_tile_pyr[0].shape[0]          # B * num_source
+
+    err_mag = jnp.linalg.norm(fwd_errs[0] + 1e-10, axis=-1, keepdims=True)
+    fwd_in = jnp.concatenate(
+        [tgt_tile_pyr[0], src_pyr[0], fwd_warps[0], fwd_rigid[0], err_mag],
+        axis=-1)
+    bwd_warp0 = flow_warp(tgt_tile_pyr[0], bwd_rigid[0])
+    bwd_err0 = img_sim(cfg.simi_alpha, src_pyr[0], bwd_warp0)
+    bwd_in = jnp.concatenate(
+        [src_pyr[0], tgt_tile_pyr[0], bwd_warp0, bwd_rigid[0],
+         jnp.linalg.norm(bwd_err0 + 1e-10, axis=-1, keepdims=True)],
+        axis=-1)
+    resflow = flow_net.apply({"params": params["flow"]},
+                             jnp.concatenate([fwd_in, bwd_in], axis=0))
+
+    loss_warp = 0.0
+    loss_smooth = 0.0
+    loss_geo = 0.0
+    for s in range(cfg.num_scales):
+        fwd_full = resflow[s][:n] + fwd_rigid[s]
+        bwd_full = resflow[s][n:] + bwd_rigid[s]
+
+        fwd_warp = flow_warp(src_pyr[s], fwd_full)
+        bwd_warp = flow_warp(tgt_tile_pyr[s], bwd_full)
+        fwd_err = img_sim(cfg.simi_alpha, tgt_tile_pyr[s], fwd_warp)
+        bwd_err = img_sim(cfg.simi_alpha, src_pyr[s], bwd_warp)
+
+        # fwd/bwd consistency masks (`baseline.py:1063-1113`).
+        bwd2fwd = flow_warp(bwd_full, fwd_full)
+        fwd2bwd = flow_warp(fwd_full, bwd_full)
+        fwd_diff = jnp.abs(bwd2fwd + fwd_full)
+        bwd_diff = jnp.abs(fwd2bwd + bwd_full)
+        fwd_bound = jax.lax.stop_gradient(jnp.maximum(
+            cfg.geometric_consistency_beta * jnp.abs(fwd_full) * 2 ** s,
+            cfg.geometric_consistency_alpha))
+        bwd_bound = jax.lax.stop_gradient(jnp.maximum(
+            cfg.geometric_consistency_beta * jnp.abs(bwd_full) * 2 ** s,
+            cfg.geometric_consistency_alpha))
+        fwd_mask = (fwd_diff * 2 ** s < fwd_bound).astype(jnp.float32)
+        bwd_mask = (bwd_diff * 2 ** s < bwd_bound).astype(jnp.float32)
+        fwd_mask = jnp.mean(fwd_mask, axis=-1, keepdims=True)
+        bwd_mask = jnp.mean(bwd_mask, axis=-1, keepdims=True)
+
+        ns = cfg.num_source
+        loss_warp += cfg.loss_weight_full_warp * ns / 2.0 * (
+            jnp.mean(jnp.mean(fwd_err, -1, keepdims=True) * fwd_mask) /
+            jnp.maximum(jnp.mean(fwd_mask), 1e-6) +
+            jnp.mean(jnp.mean(bwd_err, -1, keepdims=True) * bwd_mask) /
+            jnp.maximum(jnp.mean(bwd_mask), 1e-6))
+
+        loss_smooth += cfg.loss_weight_full_smooth / 2 ** (s + 1) * (
+            flow_smooth_loss(fwd_full, tgt_tile_pyr[s]) +
+            flow_smooth_loss(bwd_full, src_pyr[s]))
+
+        loss_geo += cfg.loss_weight_geometrical_consistency / 2.0 * (
+            jnp.mean(jnp.mean(fwd_diff, -1, keepdims=True) * fwd_mask) /
+            jnp.maximum(jnp.mean(fwd_mask), 1e-6) +
+            jnp.mean(jnp.mean(bwd_diff, -1, keepdims=True) * bwd_mask) /
+            jnp.maximum(jnp.mean(bwd_mask), 1e-6))
+
+    return {"loss_full_warp": loss_warp, "loss_full_smooth": loss_smooth,
+            "loss_geometric_consistency": loss_geo}
 
 
 def make_optimizer(config: GeoNetConfig) -> optax.GradientTransformation:

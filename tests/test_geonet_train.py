@@ -87,3 +87,21 @@ def test_gradients_nonzero_for_both_nets():
         lambda a, x: a + float(jnp.abs(x).sum()), grads["pose"], 0.0)
     assert disp_norm > 0
     assert pose_norm > 0
+
+
+def test_train_flow_mode():
+    cfg = GeoNetConfig(batch_size=1, img_height=64, img_width=96,
+                       compute_dtype=jnp.float32, train_flow=True)
+    state = geonet.create_train_state(cfg)
+    assert "flow" in state.params
+    batch = geonet.preprocess_batch(synthetic_batch(cfg))
+    loss, aux = geonet.geonet_loss(state.params, batch, cfg)
+    assert np.isfinite(float(loss))
+    for k in ("loss_full_warp", "loss_full_smooth",
+              "loss_geometric_consistency"):
+        assert np.isfinite(float(aux[k])), k
+    grads = jax.grad(lambda p: geonet.geonet_loss(p, batch, cfg)[0])(
+        state.params)
+    flow_norm = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.abs(x).sum()), grads["flow"], 0.0)
+    assert flow_norm > 0
