@@ -130,3 +130,17 @@ def test_bilaplacian_raft3d_smoke():
     Ts = model.apply(variables, img, img, depth, depth, k, iters=2)
     assert Ts.shape == (b, h, w, 7)
     assert np.isfinite(np.asarray(Ts)).all()
+
+
+@pytest.mark.slow
+def test_raft2d_smoke():
+    from sndepth_tpu.models.raft2d import RAFT2D
+    rng = np.random.RandomState(7)
+    b, h, w = 1, 32, 64
+    img1 = jnp.asarray(rng.rand(b, h, w, 3), jnp.float32)
+    img2 = jnp.asarray(np.roll(np.asarray(img1), 2, axis=2))
+    model = RAFT2D(corr_levels=2)
+    variables = model.init(jax.random.PRNGKey(0), img1, img2, iters=1)
+    flow = model.apply(variables, img1, img2, iters=2)
+    assert flow.shape == (b, h, w, 2)
+    assert np.isfinite(np.asarray(flow)).all()
