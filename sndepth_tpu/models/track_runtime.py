@@ -74,13 +74,18 @@ def empty_tracks(num_query: int, embed_dims: int, num_classes: int = 10,
 def tracker_update(tracks: TrackInstances, score_thresh: float = 0.4,
                    filter_score_thresh: float = 0.35,
                    miss_tolerance: int = 5,
-                   next_obj_id: Array | None = None
+                   next_obj_id: Array | None = None,
+                   dedup_iou_threshold: float | None = None
                    ) -> tuple[TrackInstances, Array]:
     """RuntimeTrackerBase.update (`tracker.py:16-41`), fully masked.
 
     Birth: unassigned slots whose score exceeds ``score_thresh`` get fresh
     object ids. Death: assigned slots under ``filter_score_thresh`` for
     ``miss_tolerance`` consecutive frames are freed (obj_idx = -1).
+    With ``dedup_iou_threshold`` set, newborn candidates whose BEV box
+    overlaps an existing active track above the threshold are suppressed
+    (the reference's optional 3-D-IoU dedup, via
+    :func:`sndepth_tpu.ops.box_iou.rotated_bev_iou`).
     Returns (tracks, next_obj_id)."""
     if next_obj_id is None:
         next_obj_id = jnp.zeros((), jnp.int32)
@@ -96,6 +101,15 @@ def tracker_update(tracks: TrackInstances, score_thresh: float = 0.4,
 
     # Birth: enumerate new ids in slot order.
     newborn = (~assigned) & (scores >= score_thresh)
+    if dedup_iou_threshold is not None:
+        from sndepth_tpu.ops.box_iou import rotated_bev_iou
+        from sndepth_tpu.utils.uniad import denormalize_bbox
+        boxes = denormalize_bbox(tracks.pred_boxes)       # (N, 9)
+        bev = boxes[:, [0, 1, 3, 4, 6]]
+        iou = rotated_bev_iou(bev, bev)
+        alive = (obj_idxes >= 0).astype(iou.dtype)
+        max_overlap = jnp.max(iou * alive[None, :], axis=1)
+        newborn = newborn & (max_overlap < dedup_iou_threshold)
     birth_rank = jnp.cumsum(newborn.astype(jnp.int32)) - 1
     obj_idxes = jnp.where(newborn, next_obj_id + birth_rank, obj_idxes)
     next_obj_id = next_obj_id + jnp.sum(newborn.astype(jnp.int32))
