@@ -94,3 +94,26 @@ def test_image_split():
     assert all(c.shape == (4, 768, 3) for c in crops)
     np.testing.assert_array_equal(crops[0], img[:, :768])
     np.testing.assert_array_equal(crops[2], img[:, -768:])
+
+
+@pytest.mark.slow
+def test_normal_train_step():
+    from sndepth_tpu.train import nnet as nnet_train
+    rng = np.random.RandomState(1)
+    b, h, w = 1, 64, 96
+    gt = rng.randn(b, h, w, 3).astype(np.float32)
+    gt /= np.linalg.norm(gt, axis=-1, keepdims=True) + 1e-8
+    batch = {
+        "rgb": jnp.asarray(rng.rand(b, h, w, 3), jnp.float32),
+        "normals": jnp.asarray(gt),
+        "mask": jnp.ones((b, h, w), bool),
+    }
+    state = nnet_train.create_train_state(jax.random.PRNGKey(0),
+                                          (b, h, w))
+    step = nnet_train.make_train_step()
+    losses = []
+    for _ in range(2):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert int(state.step) == 2
