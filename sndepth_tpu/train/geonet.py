@@ -252,9 +252,16 @@ def _full_flow_losses(params, cfg, tgt_tile_pyr, src_pyr, fwd_rigid,
 
 
 def make_optimizer(config: GeoNetConfig) -> optax.GradientTransformation:
-    """Adam(lr=2e-4, betas=(0.9, 0.999)) — `baseline.py:1269`."""
-    return optax.adam(config.learning_rate, b1=config.adam_beta1,
-                      b2=config.adam_beta2)
+    """Adam(lr=2e-4, betas=(0.9, 0.999)) — `baseline.py:1269`.
+
+    Wrapped in ``apply_if_finite``: the reference tolerates numerical
+    faults by zeroing NaN grads / filtering NaN losses ad hoc
+    (`raft3d.py:20-37`, `util_vae.py:15` — survey §4); here a non-finite
+    update is skipped wholesale and training continues (errors out after
+    100 consecutive bad steps)."""
+    opt = optax.adam(config.learning_rate, b1=config.adam_beta1,
+                     b2=config.adam_beta2)
+    return optax.apply_if_finite(opt, max_consecutive_errors=100)
 
 
 @flax.struct.dataclass

@@ -105,3 +105,35 @@ def test_train_flow_mode():
     flow_norm = jax.tree_util.tree_reduce(
         lambda a, x: a + float(jnp.abs(x).sum()), grads["flow"], 0.0)
     assert flow_norm > 0
+
+
+def test_nonfinite_update_is_skipped():
+    state = geonet.create_train_state(SMALL)
+    step = geonet.make_train_step(SMALL)
+    batch = synthetic_batch(SMALL)
+    state, _ = step(state, batch)
+    params_after_1 = jax.device_get(state.params)
+
+    # Poison the batch: NaN images produce NaN loss/grads; apply_if_finite
+    # must skip the update, leaving params unchanged.
+    bad = dict(batch)
+    bad["tgt"] = jnp.full_like(batch["tgt"].astype(jnp.float32),
+                               jnp.nan).astype(batch["tgt"].dtype)
+    # uint8 can't hold NaN; poison through intrinsics instead.
+    bad = dict(batch)
+    bad["intrinsics"] = jnp.full_like(batch["intrinsics"], jnp.nan)
+    state, metrics = step(state, bad)
+    params_after_2 = jax.device_get(state.params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        params_after_1, params_after_2)
+
+
+def test_multihost_single_process():
+    from sndepth_tpu.parallel.multihost import (initialize_multihost,
+                                                per_host_batch_slice)
+    info = initialize_multihost()
+    assert info["process_count"] == 1
+    per, off = per_host_batch_slice(8)
+    assert per == 8 and off == 0
