@@ -48,6 +48,12 @@ def main(argv=None) -> None:
     p.add_argument("--batch_size", default=1, type=int)
     p.add_argument("--max_batches", default=0, type=int)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--flow_source", default="rigid",
+                   choices=["rigid", "raft2d"],
+                   help="dense flow for motion fusion: pose-induced rigid "
+                        "flow, or the native RAFT2D (the reference uses "
+                        "hub RAFT-Large here)")
+    p.add_argument("--raft2d_iters", default=12, type=int)
     args = p.parse_args(argv)
 
     from sndepth_tpu.core.config import GeoNetConfig
@@ -73,6 +79,11 @@ def main(argv=None) -> None:
     geonet = GeoNetStage(config, params=params)
     nnet = NNETStage(sample_shape=shape)
     motion = MotionStage(sample_shape=shape)
+    raft2d = None
+    if args.flow_source == "raft2d":
+        from sndepth_tpu.pipelines import Raft2DFlowStage
+        raft2d = Raft2DFlowStage(iters=args.raft2d_iters,
+                                 sample_shape=shape)
     if args.motion_ckpt:
         motion.state = ckpt_lib.restore_checkpoint(args.motion_ckpt,
                                                    motion.state)
@@ -94,8 +105,13 @@ def main(argv=None) -> None:
                            (args.batch_size, 1, 1))
         else:
             kmat = np.asarray(k)
-        flow = compute_rigid_flow(g["poses"][:, 0], n["depth"][..., 0],
-                                  jnp.asarray(kmat), False)
+        if raft2d is not None:
+            img1 = (g["tgt_norm"] + 1.0) * 0.5
+            img2 = (g["src_norm"][..., 3:] + 1.0) * 0.5
+            flow = raft2d(img1, img2)
+        else:
+            flow = compute_rigid_flow(g["poses"][:, 0], n["depth"][..., 0],
+                                      jnp.asarray(kmat), False)
 
         from sndepth_tpu.utils.visualize import flow_to_rgb
         flow_rgb = jnp.asarray(np.stack(

@@ -239,10 +239,14 @@ class UniADTrack(nn.Module):
                                   obj_idxes=tracks.obj_idxes,
                                   track_scores=track_scores)
 
-        new_state = TrackState(prev_bev=bev, tracks=tracks,
-                               next_obj_id=next_obj_id,
-                               timestamp=timestamp,
-                               has_prev=jnp.ones((), bool))
+        # Keep the carried BEV in the state's dtype: a bf16 model otherwise
+        # changes prev_bev's dtype after frame 1 and every later frame
+        # recompiles (diagnosed on TPU: 23.5 s "frame" = recompilation).
+        new_state = TrackState(
+            prev_bev=bev.astype(state.prev_bev.dtype), tracks=tracks,
+            next_obj_id=next_obj_id,
+            timestamp=jnp.asarray(timestamp, state.timestamp.dtype),
+            has_prev=jnp.ones((), bool))
         return new_state, results
 
     def simple_test_track(self, imgs_seq: Array, lidar2img: Array,

@@ -137,6 +137,32 @@ class RAFT3DStage:
                          depth2, intrinsics)
 
 
+class Raft2DFlowStage:
+    """Dense 2-D optical flow for the motion input (`predict.py:61`'s
+    torchvision RAFT-Large role), via the native RAFT2D."""
+
+    def __init__(self, variables=None, iters: int = 12,
+                 sample_shape=(1, 128, 416)):
+        from sndepth_tpu.models.raft2d import RAFT2D
+        self.model = RAFT2D()
+        self.iters = iters
+        b, h, w = sample_shape
+        if variables is None:
+            variables = self.model.init(
+                jax.random.PRNGKey(0), jnp.zeros((b, h, w, 3)),
+                jnp.zeros((b, h, w, 3)), iters=1)
+        self.variables = variables
+
+        @functools.partial(jax.jit, static_argnums=0)
+        def _run(iters, variables, img1, img2):
+            return self.model.apply(variables, img1, img2, iters=iters)
+
+        self._run = _run
+
+    def __call__(self, img1: Array, img2: Array) -> Array:
+        return self._run(self.iters, self.variables, img1, img2)
+
+
 class VAEStage:
     def __init__(self, variables=None, sample_shape=(1, 128, 416)):
         from sndepth_tpu.models.vae import get_autoencoder
