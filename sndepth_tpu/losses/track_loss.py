@@ -17,8 +17,6 @@ Re-design of `/root/reference/models/register_module/track_loss.py` and
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -22,7 +22,6 @@ lookup — one fused XLA gather per level.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Sequence
 
 import flax.linen as nn

@@ -22,7 +22,7 @@ distribution without a full sort.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -10,7 +10,6 @@ pooling per level — and its finite-difference gradients
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 Array = jax.Array
 

@@ -22,7 +22,6 @@ Stage map (reference -> here):
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
