@@ -16,8 +16,8 @@ import jax
 import jax.numpy as jnp
 
 from sndepth_tpu.models.raft3d import (BasicEncoder, ConvGRU,
-                                       build_corr_pyramid, corr_lookup,
-                                       cvx_upsample, grad_clip)
+                                       corr_lookup_dot, cvx_upsample,
+                                       grad_clip, pool_fmap_pyramid)
 
 Array = jax.Array
 
@@ -30,10 +30,11 @@ class _FlowIteration(nn.Module):
     @nn.compact
     def __call__(self, carry, const):
         flow, net = carry
-        pyramid, inp, coords0 = const
+        fmap1, f2_pyramid, inp, coords0 = const
 
         coords1 = coords0 + flow
-        corr = corr_lookup(list(pyramid), coords1, self.corr_radius)
+        corr = corr_lookup_dot(fmap1, list(f2_pyramid), coords1,
+                               self.corr_radius)
 
         cor = nn.relu(nn.Conv(256, (1, 1), dtype=self.dtype)(corr))
         cor = nn.Conv(192, (3, 3), padding="SAME", dtype=self.dtype)(cor)
@@ -77,11 +78,9 @@ class RAFT2D(nn.Module):
         h8, w8 = ht // 8, wd // 8
 
         fnet = BasicEncoder(output_dim=256, dtype=self.dtype)
-        fmap1 = fnet(image1)
-        fmap2 = fnet(image2)
-        pyramid = tuple(build_corr_pyramid(
-            fmap1.astype(jnp.float32), fmap2.astype(jnp.float32),
-            self.corr_levels))
+        fmap1 = fnet(image1).astype(jnp.float32)
+        fmap2 = fnet(image2).astype(jnp.float32)
+        f2_pyramid = tuple(pool_fmap_pyramid(fmap2, self.corr_levels))
 
         cnet = BasicEncoder(output_dim=2 * hdim, dtype=self.dtype)
         net_inp = cnet(image1)
@@ -103,7 +102,8 @@ class RAFT2D(nn.Module):
         )(hidden_dim=hdim, corr_radius=self.corr_radius, dtype=self.dtype)
 
         flow0 = jnp.zeros((b, h8, w8, 2))
-        (flow, _), masks = scan_mod((flow0, net), (pyramid, inp, coords0))
+        (flow, _), masks = scan_mod((flow0, net),
+                                    (fmap1, f2_pyramid, inp, coords0))
 
         flow_up = cvx_upsample(8.0 * flow, masks[-1])
         if train_mode:

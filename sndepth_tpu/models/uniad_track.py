@@ -35,6 +35,21 @@ from sndepth_tpu.models.track_runtime import (MemoryBank,
 Array = jax.Array
 
 
+def uniad_reference_config(**overrides) -> "UniADTrack":
+    """The reference's full-scale model config as a constructed module —
+    parity with ``get_model_cfg`` (`track_uniad.py:877-1122`): 200x200 BEV,
+    901 queries (900 obj + 1 ego), 256 dims, 6-layer encoder/decoder,
+    ResNet-101 backbone, 10 classes, nuScenes pc_range."""
+    cfg = dict(num_query=901, num_classes=10, embed_dims=256,
+               bev_h=200, bev_w=200, num_cams=6, encoder_layers=6,
+               decoder_layers=6, backbone_blocks=(3, 4, 23, 3),
+               pc_range=(-51.2, -51.2, -5.0, 51.2, 51.2, 3.0),
+               score_thresh=0.4, filter_score_thresh=0.35,
+               miss_tolerance=5, mem_len=4)
+    cfg.update(overrides)
+    return UniADTrack(**cfg)
+
+
 @flax.struct.dataclass
 class TrackState:
     """Carried across frames (explicit version of `track_uniad.py:759-782`)."""
