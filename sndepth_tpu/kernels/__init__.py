@@ -6,12 +6,12 @@ Landed:
   module docstring for numbers).
 
 Roadmap (the reference's remaining CUDA-kernel call sites, survey §2.8):
-* deformable-attention gather — measured the dominant cost of UniAD at
-  scale (100x100 BEV, 901 queries, 6 cams: 23.5 s/frame on v5e; one
-  level's taps = 15M random 128-byte reads at ~14 GB/s effective, ~10x
-  below HBM transaction peak). A Pallas kernel with pipelined per-tile
-  DMAs is the round-2 priority; a one-hot matmul reformulation was
-  evaluated and rejected (hundreds of TFLOPs);
+* deformable-attention gather — initially suspected as UniAD's bottleneck;
+  actual steady-state measurement (0.7 ms/frame at 100x100 BEV with
+  randomized offsets) shows XLA's gather handles the locality-friendly
+  deformable pattern fine. A Pallas kernel stays an option for larger BEV
+  grids, not a priority. The fully-random-coords microbenchmark
+  (134 ms/level) is the non-representative worst case;
 * blockwise Gauss-Newton build — stream the O(N^2) per-pair Jacobian
   accumulation of `models/raft3d.py:gauss_newton_step` through VMEM tiles
   instead of materializing (B, N, N, 3, 6);
