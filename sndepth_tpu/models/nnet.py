@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from sndepth_tpu.models.efficientnet import EfficientNetEncoder
 from sndepth_tpu.models.normal_decoder import NormalDecoder
 from sndepth_tpu.ops.edges import propagate
-from sndepth_tpu.ops.patches import extract_patches
+from sndepth_tpu.ops.patches import extract_patches_tap_last
 
 Array = jax.Array
 
@@ -77,18 +77,19 @@ def d2n_least_squares(pre_norm: Array, points: Array) -> tuple[Array, Array, Arr
     (`baseline.py:350-446`).
 
     pre_norm: (B, H, W, 3) unit normals; points: (B, H, W, 3) 3-D points.
-    Returns (normals*10, angle, point_patches) where angle is the per-tap
-    agreement used again by N2D.
+    Returns (normals*10, angle, point_patches) where angle (B, H, W, 81) is
+    the per-tap agreement used again by N2D, and point_patches is in the
+    TPU-preferred (B, H, W, 3, 81) taps-last layout.
     """
-    norm_patches = extract_patches(pre_norm, K, RATE)        # B,H,W,81,3
-    angle = jnp.einsum("bhwkc,bhwc->bhwk", norm_patches, pre_norm)
-    valid = (angle > THRESH)[..., None]
+    norm_patches = extract_patches_tap_last(pre_norm, K, RATE)  # B,H,W,3,81
+    angle = jnp.einsum("bhwct,bhwc->bhwt", norm_patches, pre_norm)
+    valid = (angle > THRESH)[:, :, :, None, :]                  # B,H,W,1,81
 
-    point_patches = extract_patches(points, K, RATE)          # B,H,W,81,3
+    point_patches = extract_patches_tap_last(points, K, RATE)   # B,H,W,3,81
     a = jnp.where(valid, point_patches, 0.0)
-    ata = jnp.einsum("bhwki,bhwkj->bhwij", a, a)               # 3x3
-    atb = jnp.sum(a, axis=3)[..., None]                        # A^T @ 1
-    n = _solve3x3(ata, atb)[..., 0]                            # B,H,W,3
+    ata = jnp.einsum("bhwit,bhwjt->bhwij", a, a)                # 3x3
+    atb = jnp.sum(a, axis=-1)[..., None]                        # A^T @ 1
+    n = _solve3x3(ata, atb)[..., 0]                             # B,H,W,3
     n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
     return n * 10.0, angle, point_patches
 
@@ -96,21 +97,22 @@ def d2n_least_squares(pre_norm: Array, points: Array) -> tuple[Array, Array, Arr
 def n2d_depth(pre_norm: Array, grid: Array, angle: Array,
               point_patches: Array) -> Array:
     """Normal->depth re-estimation (`baseline.py:495-524`). Returns
-    (B, H, W, 1) clamped to [0, 10]."""
-    norm_patches = extract_patches(pre_norm, K, RATE)
-    grid_patches = extract_patches(grid, K, RATE)
-    depth_taps = point_patches[..., 2:3]                       # z of points
+    (B, H, W, 1) clamped to [0, 10]. angle: (B, H, W, 81);
+    point_patches: (B, H, W, 3, 81)."""
+    norm_patches = extract_patches_tap_last(pre_norm, K, RATE)
+    grid_patches = extract_patches_tap_last(grid, K, RATE)
+    depth_taps = point_patches[:, :, :, 2, :]                  # B,H,W,81
 
-    lower_m = jnp.einsum("bhwkc,bhwc->bhwk", norm_patches, grid)[..., None]
+    lower_m = jnp.einsum("bhwct,bhwc->bhwt", norm_patches, grid)
     cond = lower_m > 1e-5
     lower = jnp.where(cond, 1.0 / jnp.where(cond, lower_m, 1.0), 1.0)
-    valid_angle = jnp.where(cond[..., 0], angle, 0.0)[..., None]
-    upper = jnp.sum(norm_patches * grid_patches, axis=-1)[..., None]
+    valid_angle = jnp.where(cond, angle, 0.0)
+    upper = jnp.sum(norm_patches * grid_patches, axis=3)       # B,H,W,81
     est_depth = lower * upper * depth_taps
 
-    weight = valid_angle / (jnp.sum(valid_angle, axis=(3, 4),
+    weight = valid_angle / (jnp.sum(valid_angle, axis=-1,
                                     keepdims=True) + 1e-5)
-    depth = jnp.sum(est_depth * weight, axis=(3, 4))
+    depth = jnp.sum(est_depth * weight, axis=-1)
     return jnp.clip(depth, 0.0, 10.0)[..., None]
 
 

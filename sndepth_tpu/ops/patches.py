@@ -19,11 +19,13 @@ from jax import lax
 Array = jax.Array
 
 
-def extract_patches(x: Array, k: int, dilation: int) -> Array:
-    """x: (B, H, W, C) -> (B, H, W, k*k, C), SAME-padded, stride 1.
+def extract_patches_tap_last(x: Array, k: int, dilation: int) -> Array:
+    """x: (B, H, W, C) -> (B, H, W, C, k*k), SAME-padded, stride 1.
 
-    Tap order is row-major over the kxk window (matching both
-    tf.extract_image_patches and F.unfold tap ordering).
+    Tap order is row-major over the kxk window. This is the TPU-preferred
+    layout: the k*k tap axis (81 for k=9) sits in lanes; the alternative
+    (..., k*k, C) with C=3 lane-pads 3 -> 128 (a ~40x memory blowup that
+    dominated the NNET D2N/N2D stage).
     """
     b, h, w, c = x.shape
     span = k + (k - 1) * (dilation - 1)
@@ -33,5 +35,10 @@ def extract_patches(x: Array, k: int, dilation: int) -> Array:
         padding=[(pad, pad), (pad, pad)], rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     # conv_general_dilated_patches emits channels ordered (C, k, k).
-    patches = patches.reshape(b, h, w, c, k * k)
-    return jnp.swapaxes(patches, -1, -2)
+    return patches.reshape(b, h, w, c, k * k)
+
+
+def extract_patches(x: Array, k: int, dilation: int) -> Array:
+    """x: (B, H, W, C) -> (B, H, W, k*k, C). Prefer
+    :func:`extract_patches_tap_last` in hot paths (layout note there)."""
+    return jnp.swapaxes(extract_patches_tap_last(x, k, dilation), -1, -2)

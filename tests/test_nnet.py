@@ -92,9 +92,9 @@ def test_n2d_recovers_plane_depth():
     z = 1.0 / np.einsum("bhwc,c->bhw", grid, true_n)
     points = (grid * z[..., None]).astype(np.float32)
     pre_norm = np.broadcast_to(true_n, (b, h, w, 3)).astype(np.float32)
-    from sndepth_tpu.ops.patches import extract_patches as ep
+    from sndepth_tpu.ops.patches import extract_patches_tap_last as ep
     point_patches = ep(jnp.array(points), 9, 4)
-    angle = jnp.einsum("bhwkc,bhwc->bhwk",
+    angle = jnp.einsum("bhwct,bhwc->bhwt",
                        ep(jnp.array(pre_norm), 9, 4), jnp.array(pre_norm))
     depth = np.asarray(nnet_lib.n2d_depth(
         jnp.array(pre_norm), jnp.array(grid, dtype=jnp.float32), angle,
