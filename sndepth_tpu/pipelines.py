@@ -63,13 +63,17 @@ class GeoNetStage:
 
 
 class NNETStage:
-    """Normal + refined depth from (pre_depth, rgb) (`baseline.py:274`)."""
+    """Normal + refined depth from (pre_depth, rgb) (`baseline.py:274`).
+
+    ``dtype=bfloat16`` runs the conv stacks in bf16 (normal/depth heads and
+    the D2N/N2D solves stay f32); checked finite with unit normals. Pass
+    ``jnp.float32`` for bit-conservative inference."""
 
     def __init__(self, variables=None, rng: Array | None = None,
-                 sample_shape=(1, 128, 416)):
+                 sample_shape=(1, 128, 416), dtype=jnp.bfloat16):
         from sndepth_tpu.models.nnet import NNET, bgr_preprocess
         from sndepth_tpu.ops.edges import edge_model_inputs
-        self.model = NNET()
+        self.model = NNET(dtype=dtype)
         if variables is None:
             b, h, w = sample_shape
             variables = self.model.init(
