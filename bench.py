@@ -7,6 +7,15 @@ PoseNet + 4-scale rigid-warp photometric loss + Adam), per
 `/root/reference/models/baseline.py:51-108`. "frames" counts every image a
 step consumes (batch x 3-frame snippet). vs_baseline is against the
 north-star target of 5000 frames/sec/chip (BASELINE.json).
+
+Measurement protocol: on this environment's remote-TPU runtime,
+``jax.block_until_ready`` returns before execution completes and identical
+(executable, input) pairs are memoized, so the timed chain keeps the same
+batch (the train state changes every step — each step is distinct work)
+and is forced by fetching the final loss scalar to host. Honest profile
+(see BASELINE.md): the conv nets take ~36 ms/step; the remaining ~2 s is
+the 4-scale bilinear-warp gather (~143M taps/step at XLA's ~73M taps/s
+gather rate) — the fused Pallas warp kernel is the round-2 priority.
 """
 
 from __future__ import annotations
@@ -25,10 +34,6 @@ def main() -> None:
     from sndepth_tpu.core.config import GeoNetConfig
     from sndepth_tpu.train import geonet
 
-    # Larger batch than the reference's 4 to fill the chip; throughput is
-    # measured per-frame so this is an honest frames/sec/chip number.
-    # Swept 16/32/64/128/256 on v5e: 128 is the HBM-limited sweet spot
-    # (256 OOMs without remat).
     batch = 128
     config = GeoNetConfig(batch_size=batch, compute_dtype=jnp.bfloat16)
 
@@ -47,19 +52,20 @@ def main() -> None:
     state = geonet.create_train_state(config)
     step = geonet.make_train_step(config)
 
-    # Warmup / compile.
+    # Warmup: compile + force all transfers/executions to really happen.
     state, metrics = step(state, batch_data)
-    jax.block_until_ready(metrics)
+    _ = float(metrics["loss_total"])
     state, metrics = step(state, batch_data)
-    jax.block_until_ready(metrics)
+    _ = float(metrics["loss_total"])
 
-    iters = 20
+    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, batch_data)
-    jax.block_until_ready(metrics)
+    final_loss = float(metrics["loss_total"])   # forces the whole chain
     dt = time.perf_counter() - t0
 
+    assert np.isfinite(final_loss)
     frames_per_step = batch * config.sequence_length
     fps = frames_per_step * iters / dt
     print(json.dumps({

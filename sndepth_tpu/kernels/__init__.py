@@ -6,12 +6,13 @@ Landed:
   module docstring for numbers).
 
 Roadmap (the reference's remaining CUDA-kernel call sites, survey §2.8):
-* deformable-attention gather — initially suspected as UniAD's bottleneck;
-  actual steady-state measurement (0.7 ms/frame at 100x100 BEV with
-  randomized offsets) shows XLA's gather handles the locality-friendly
-  deformable pattern fine. A Pallas kernel stays an option for larger BEV
-  grids, not a priority. The fully-random-coords microbenchmark
-  (134 ms/level) is the non-representative worst case;
+* THE round-2 kernel: vectorized bilinear-tap gather from VMEM-resident
+  planes, with three users measured gather-bound under the honest
+  protocol (see CLAUDE.md): the GeoNet warp (95% of the 2.18 s train
+  step), UniAD deformable attention (2.29 s/frame), and the RAFT3D corr
+  lookup. XLA's gather sustains only ~73M rows/s for small rows
+  irrespective of layout (flattened take_along_axis / packed-patch
+  variants measured equal);
 * blockwise Gauss-Newton build — stream the O(N^2) per-pair Jacobian
   accumulation of `models/raft3d.py:gauss_newton_step` through VMEM tiles
   instead of materializing (B, N, N, 3, 6);
