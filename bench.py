@@ -13,9 +13,9 @@ Measurement protocol: on this environment's remote-TPU runtime,
 (executable, input) pairs are memoized, so the timed chain keeps the same
 batch (the train state changes every step — each step is distinct work)
 and is forced by fetching the final loss scalar to host. Honest profile
-(see BASELINE.md): the conv nets take ~36 ms/step; the remaining ~2 s is
-the 4-scale bilinear-warp gather (~143M taps/step at XLA's ~73M taps/s
-gather rate) — the fused Pallas warp kernel is the round-2 priority.
+(see BASELINE.md): 339 ms/step at batch 128 with the Pallas warp kernel
+(`kernels/warp.py`; was 2.18 s with XLA's row-gather warp). Conv nets are
+~36 ms of that; the rest is the multi-scale warp+DSSIM loss.
 """
 
 from __future__ import annotations

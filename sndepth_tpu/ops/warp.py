@@ -19,10 +19,35 @@ to a fused dynamic-gather; no flat-index bookkeeping needed.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+# Backend dispatch: the Pallas VMEM-resident gather kernel
+# (`kernels/warp.py`) is ~7x faster than XLA's row gather on TPU (measured
+# 37.6 ms vs 272 ms fwd, 39.4 ms vs 271 ms fwd+bwd, for 128x128x416x3 on
+# v5e) and matches both samplers to float epsilon. "auto" uses it on TPU
+# backends; tests force either via env.
+_BACKEND = os.environ.get("SNDEPTH_WARP_BACKEND", "auto")
+
+
+def _use_pallas(imgs: Array, coords: Array) -> bool:
+    if _BACKEND == "xla":
+        return False
+    if _BACKEND != "pallas" and \
+            jax.default_backend() not in ("tpu", "axon"):
+        return False
+    # Shape gate: the kernel runs one grid step per batch image with the
+    # full source plane VMEM-resident. Tiny per-image pixel counts (e.g.
+    # the RAFT3D 49-tap correlation windows) or oversized planes fall back
+    # to the XLA gather.
+    npix = coords.shape[1] * coords.shape[2]
+    plane_bytes = (imgs.shape[1] * ((imgs.shape[2] + 127) // 128 * 128)
+                   * imgs.shape[3] * 4)
+    return npix >= 512 and plane_bytes <= 6 * 1024 * 1024
 
 
 def bilinear_sampler(imgs: Array, coords: Array) -> Array:
@@ -31,6 +56,9 @@ def bilinear_sampler(imgs: Array, coords: Array) -> Array:
     imgs: (B, Hs, Ws, C); coords: (B, Ht, Wt, 2) with channels (x, y) in
     source-pixel units. Returns (B, Ht, Wt, C).
     """
+    if _use_pallas(imgs, coords):
+        from sndepth_tpu.kernels.warp import bilinear_sampler as _pk
+        return _pk(imgs, coords, "edge_zero")
     b, hs, ws, _ = imgs.shape
     coords_x = coords[..., 0]
     coords_y = coords[..., 1]
@@ -81,6 +109,9 @@ def bilinear_sampler_zero_pad(imgs: Array, coords: Array) -> Array:
     by the RAFT3D correlation lookup and depth sampler, where the CUDA
     `corr_index_forward` / `grid_sample` semantics are the reference.
     """
+    if _use_pallas(imgs, coords):
+        from sndepth_tpu.kernels.warp import bilinear_sampler as _pk
+        return _pk(imgs, coords, "zero_pad")
     b, hs, ws, _ = imgs.shape
     cx = coords[..., 0]
     cy = coords[..., 1]

@@ -1,0 +1,83 @@
+"""Pallas bilinear-warp kernel vs the XLA ops (interpreter mode on CPU).
+
+The kernel (`sndepth_tpu/kernels/warp.py`) must bit-match both reference
+samplers — the GeoNet edge-zero sampler
+(/root/reference/utils/utils_edited.py:402-486) and the zero-pad
+grid_sample semantics — for values and coordinate/image gradients.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sndepth_tpu.kernels.warp import bilinear_sampler as pallas_sampler
+from sndepth_tpu.kernels.warp import flow_warp as pallas_flow_warp
+from sndepth_tpu.ops.warp import (bilinear_sampler, bilinear_sampler_zero_pad,
+                                  flow_warp)
+
+_REF = {"edge_zero": bilinear_sampler, "zero_pad": bilinear_sampler_zero_pad}
+
+
+def _rand_case(seed, b=2, h=13, w=37, c=3, ht=11, wt=29, spread=6):
+    rng = np.random.RandomState(seed)
+    imgs = jnp.asarray(rng.rand(b, h, w, c), jnp.float32)
+    coords = jnp.asarray(
+        rng.uniform(-spread, max(h, w) + spread, (b, ht, wt, 2)), jnp.float32)
+    return imgs, coords
+
+
+def test_kernel_matches_both_modes_random_coords():
+    imgs, coords = _rand_case(0)
+    for mode, ref in _REF.items():
+        got = np.asarray(pallas_sampler(imgs, coords, mode))
+        want = np.asarray(ref(imgs, coords))
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=mode)
+
+
+def test_kernel_matches_on_smooth_warp_grid():
+    # Rigid-flow-like smooth coordinates (the intended workload): small
+    # displacements off the identity grid, image dims not lane-aligned.
+    rng = np.random.RandomState(1)
+    b, h, w, c = 2, 16, 48, 2
+    imgs = jnp.asarray(rng.rand(b, h, w, c), jnp.float32)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    grid = np.stack([xs, ys], -1)[None].repeat(b, 0)
+    coords = jnp.asarray(grid + rng.uniform(-2, 2, grid.shape), jnp.float32)
+    for mode, ref in _REF.items():
+        got = np.asarray(pallas_sampler(imgs, coords, mode))
+        want = np.asarray(ref(imgs, coords))
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=mode)
+
+
+def test_kernel_coord_gradients_match():
+    imgs, coords = _rand_case(2, b=1, h=9, w=17, c=2, ht=6, wt=10, spread=3)
+
+    for mode, ref in _REF.items():
+        def loss(fn, cc):
+            out = fn(imgs, cc) if fn is not pallas_sampler else \
+                fn(imgs, cc, mode)
+            return jnp.sum(jnp.sin(out) * out)
+
+        g_k = jax.grad(lambda cc: loss(pallas_sampler, cc))(coords)
+        g_r = jax.grad(lambda cc: loss(ref, cc))(coords)
+        np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_r),
+                                   atol=1e-4, err_msg=mode)
+
+
+def test_kernel_image_gradients_match():
+    imgs, coords = _rand_case(3, b=1, h=8, w=19, c=2, ht=5, wt=9, spread=2)
+    for mode, ref in _REF.items():
+        g_k = jax.grad(lambda im: jnp.sum(
+            pallas_sampler(im, coords, mode) ** 2))(imgs)
+        g_r = jax.grad(lambda im: jnp.sum(ref(im, coords) ** 2))(imgs)
+        np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_r),
+                                   atol=1e-4, err_msg=mode)
+
+
+def test_kernel_flow_warp_matches():
+    rng = np.random.RandomState(4)
+    src = jnp.asarray(rng.rand(2, 12, 20, 3), jnp.float32)
+    flow = jnp.asarray(rng.uniform(-3, 3, (2, 12, 20, 2)), jnp.float32)
+    got = np.asarray(pallas_flow_warp(src, flow))
+    want = np.asarray(flow_warp(src, flow))
+    np.testing.assert_allclose(got, want, atol=1e-5)
