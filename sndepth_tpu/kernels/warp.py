@@ -121,8 +121,12 @@ def _tap_setup(x, y, h, w, mode):
     raise ValueError(f"unknown mode {mode!r}")
 
 
+_KWIN = 16            # fast-path row window (2 aligned 8-row groups)
+_CWIN = 2             # fast-path lane-chunk window
+
+
 def _row_chunk_loop(img_ref, nch, x0i, x1i, y0i, y1i, per_row_chunk, init):
-    """Drive the dynamic row-span x chunk-span loop.
+    """Drive the dynamic row-span x chunk-span loop (slow/general path).
 
     ``per_row_chunk(carry, wk_args, gathered)`` gets, per (row, chunk):
     the chunk-membership-masked per-channel taps g0/g1 lists and the
@@ -169,41 +173,120 @@ def _fwd_kernel(x_ref, y_ref, img_ref, out_ref, *refs, h, w, nch, mode,
     """Forward warp; with ``save_tangents`` also emits the coordinate
     tangent planes from the *same* gathers (the gathers dominate, the extra
     fmas are ~free):
-      Tx_ch = d out_ch/dx = sum_k wk*(g1-g0)
+      Tx_ch = d out_ch/dx = sum_k wk*(dvx1*g1 - dvx0*g0)
       Ty_ch = d out_ch/dy = sum_k sy*(wx0*g0 + wx1*g1)
     which makes the VJP a pure-XLA elementwise contraction with the output
-    cotangent — no second gather pass."""
+    cotangent — no second gather pass.
+
+    Two code paths per output tile, selected at runtime:
+    * FAST (the common case for smooth warps): the tile's source span fits
+      a fixed _KWIN-row x _CWIN-chunk window — fully unrolled static loops
+      over aligned 8-row-group loads. The dynamic-trip fori_loop version
+      measures ~22 cycles/vector-op from scalar loop overhead; the
+      unrolled path pipelines.
+    * SLOW fallback: the original dynamic row/chunk span loop, for tiles
+      whose intra-tile coordinate spread exceeds the window.
+    """
     tx_ref, ty_ref = refs if save_tangents else (None, None)
+    hp, wp = img_ref.shape[2], img_ref.shape[3]
+    kwin = min(_KWIN, hp)            # hp is a multiple of 8
+    cwin = min(_CWIN, wp // _LANE)
+
     for t in range(_TPS):
         sl = slice(t * _SUB, (t + 1) * _SUB)
         x = x_ref[0, sl].astype(jnp.float32)
         y = y_ref[0, sl].astype(jnp.float32)
         (x0i, x1i, y0i, y1i, wx0, wx1, wy0, wy1,
          (dvx0, dvx1, dvy0, dvy1)) = _tap_setup(x, y, h, w, mode)
+        r0 = x0i % _LANE
+        r1 = x1i % _LANE
+        q0 = x0i // _LANE
+        q1 = x1i // _LANE
 
-        def fold(carry, m_y0, m_y1, g0s, g1s):
-            accs, txs, tys = carry
-            wk = wy0 * m_y0 + wy1 * m_y1
-            accs = tuple(acc + wk * (wx0 * g0 + wx1 * g1)
-                         for acc, g0, g1 in zip(accs, g0s, g1s))
-            if save_tangents:
-                sy = (m_y1.astype(jnp.float32) * dvy1
-                      - m_y0.astype(jnp.float32) * dvy0)
-                txs = tuple(tx + wk * (dvx1 * g1 - dvx0 * g0)
-                            for tx, g0, g1 in zip(txs, g0s, g1s))
-                tys = tuple(ty + sy * (wx0 * g0 + wx1 * g1)
-                            for ty, g0, g1 in zip(tys, g0s, g1s))
-            return accs, txs, tys
+        ymin = jnp.min(y0i)
+        ymax = jnp.max(y1i)
+        cminv = jnp.min(q0)
+        cmaxv = jnp.max(q1)
+        ybase = jnp.clip((ymin // _SUB) * _SUB, 0, hp - kwin)
+        cbase = jnp.clip(cminv, 0, wp // _LANE - cwin)
+        fast = (ymax - ybase < kwin) & (cmaxv - cbase < cwin)
 
-        zeros = tuple(jnp.zeros((_SUB, _LANE), jnp.float32)
-                      for _ in range(nch))
-        accs, txs, tys = _row_chunk_loop(
-            img_ref, nch, x0i, x1i, y0i, y1i, fold, (zeros, zeros, zeros))
-        for ch in range(nch):
-            out_ref[0, ch, sl] = accs[ch]
-            if save_tangents:
-                tx_ref[0, ch, sl] = txs[ch]
-                ty_ref[0, ch, sl] = tys[ch]
+        @pl.when(fast)
+        def _fast_path():
+            # Preload all (chunk, group, channel) blocks once.
+            blocks = {}
+            chunk_w = []
+            for ci in range(cwin):
+                c = cbase + ci
+                base = pl.multiple_of(c * _LANE, _LANE)
+                in0 = (q0 == c).astype(jnp.float32)
+                in1 = (q1 == c).astype(jnp.float32)
+                chunk_w.append((wx0 * in0, wx1 * in1,
+                                dvx0 * in0, dvx1 * in1))
+                for g in range(kwin // _SUB):
+                    row0 = pl.multiple_of(ybase + g * _SUB, _SUB)
+                    for ch in range(nch):
+                        blocks[ci, g, ch] = img_ref[
+                            0, ch, pl.ds(row0, _SUB), pl.ds(base, _LANE)]
+
+            zero = jnp.zeros((_SUB, _LANE), jnp.float32)
+            accs = [zero] * nch
+            txs = [zero] * nch
+            tys = [zero] * nch
+            for g in range(kwin // _SUB):
+                for r in range(_SUB):
+                    k = ybase + g * _SUB + r
+                    m0 = (y0i == k).astype(jnp.float32)
+                    m1 = (y1i == k).astype(jnp.float32)
+                    wk = wy0 * m0 + wy1 * m1
+                    if save_tangents:
+                        syk = m1 * dvy1 - m0 * dvy0
+                    idxr = jnp.full((_SUB, _LANE), r, jnp.int32)
+                    for ci in range(cwin):
+                        wx0c, wx1c, dv0c, dv1c = chunk_w[ci]
+                        for ch in range(nch):
+                            tab = jnp.take_along_axis(
+                                blocks[ci, g, ch], idxr, axis=0)
+                            g0 = jnp.take_along_axis(tab, r0, axis=1)
+                            g1 = jnp.take_along_axis(tab, r1, axis=1)
+                            t0 = wx0c * g0 + wx1c * g1
+                            accs[ch] = accs[ch] + wk * t0
+                            if save_tangents:
+                                txs[ch] = txs[ch] + wk * (dv1c * g1
+                                                          - dv0c * g0)
+                                tys[ch] = tys[ch] + syk * t0
+            for ch in range(nch):
+                out_ref[0, ch, sl] = accs[ch]
+                if save_tangents:
+                    tx_ref[0, ch, sl] = txs[ch]
+                    ty_ref[0, ch, sl] = tys[ch]
+
+        @pl.when(jnp.logical_not(fast))
+        def _slow_path():
+            def fold(carry, m_y0, m_y1, g0s, g1s):
+                accs, txs, tys = carry
+                wk = wy0 * m_y0 + wy1 * m_y1
+                accs = tuple(acc + wk * (wx0 * g0 + wx1 * g1)
+                             for acc, g0, g1 in zip(accs, g0s, g1s))
+                if save_tangents:
+                    sy = (m_y1.astype(jnp.float32) * dvy1
+                          - m_y0.astype(jnp.float32) * dvy0)
+                    txs = tuple(tx + wk * (dvx1 * g1 - dvx0 * g0)
+                                for tx, g0, g1 in zip(txs, g0s, g1s))
+                    tys = tuple(ty + sy * (wx0 * g0 + wx1 * g1)
+                                for ty, g0, g1 in zip(tys, g0s, g1s))
+                return accs, txs, tys
+
+            zeros = tuple(jnp.zeros((_SUB, _LANE), jnp.float32)
+                          for _ in range(nch))
+            accs, txs, tys = _row_chunk_loop(
+                img_ref, nch, x0i, x1i, y0i, y1i, fold,
+                (zeros, zeros, zeros))
+            for ch in range(nch):
+                out_ref[0, ch, sl] = accs[ch]
+                if save_tangents:
+                    tx_ref[0, ch, sl] = txs[ch]
+                    ty_ref[0, ch, sl] = tys[ch]
 
 
 def _block(a: Array) -> Array:

@@ -116,6 +116,12 @@ class DispNetS(nn.Module):
     enc_planes: Sequence[int] = (32, 64, 128, 256, 512, 512, 512)
     dec_planes: Sequence[int] = (512, 512, 256, 128, 64, 32, 16)
     dtype: Any = jnp.float32
+    # Rematerialize encoder blocks in the backward pass: measured 339 ->
+    # 308 ms/step on the batch-128 GeoNet train step (the recompute is
+    # cheaper than storing/streaming the big early-scale activations).
+    # Rematting the decoder too measured slower (328 ms) -- encoder only.
+    # Transparent to the param tree; no effect on inference.
+    remat: bool = True
 
     @nn.compact
     def __call__(self, x: Array) -> tuple[Array, Array, Array, Array]:
@@ -123,10 +129,14 @@ class DispNetS(nn.Module):
         ep, dp = self.enc_planes, self.dec_planes
         kernels = (7, 5, 3, 3, 3, 3, 3)
 
+        down = nn.remat(_DownBlock) if self.remat else _DownBlock
         feats = []
         h = x
-        for planes, k in zip(ep, kernels):
-            h = _DownBlock(planes, k, self.dtype)(h)
+        for i, (planes, k) in enumerate(zip(ep, kernels)):
+            # Explicit name keeps the param tree identical with/without
+            # remat (nn.remat would otherwise rename the module scope,
+            # breaking the torch-checkpoint converter paths).
+            h = down(planes, k, self.dtype, name=f"_DownBlock_{i}")(h)
             feats.append(h)
         c1, c2, c3, c4, c5, c6, c7 = feats
 
