@@ -12,6 +12,8 @@ and all the elementwise algebra into one VPU-bound kernel.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -20,6 +22,25 @@ Array = jax.Array
 
 _C1 = 0.01 ** 2
 _C2 = 0.03 ** 2
+
+# Backend dispatch: on TPU the fused Pallas DSSIM (kernels/dssim.py) does
+# the forward in one VMEM pass and — the real win — the analytic adjoint
+# in one pass (vs ~10 XLA reduce_windows + algebra fusions in the train
+# step). Force with SNDEPTH_SSIM_BACKEND=xla|pallas.
+_BACKEND = os.environ.get("SNDEPTH_SSIM_BACKEND", "auto")
+
+
+def _use_pallas(x: Array) -> bool:
+    if _BACKEND == "xla":
+        return False
+    if _BACKEND != "pallas" and \
+            jax.default_backend() not in ("tpu", "axon"):
+        return False
+    # One (H, W) f32 plane + 5 (H+2, W+2) scratch buffers must fit VMEM
+    # comfortably; tiny planes aren't worth the pallas_call overhead.
+    h, w = x.shape[1], x.shape[2]
+    plane_bytes = h * ((w + 127) // 128 * 128) * 4
+    return 64 <= h * w and plane_bytes <= 2 * 1024 * 1024
 
 
 def _avg_pool3(x: Array) -> Array:
@@ -34,6 +55,10 @@ def _avg_pool3(x: Array) -> Array:
 
 def dssim(x: Array, y: Array) -> Array:
     """Per-pixel structural dissimilarity in [0, 1]; NHWC in, NHWC out."""
+    if _use_pallas(x):
+        from sndepth_tpu.kernels.dssim import dssim_pallas
+        interp = jax.default_backend() not in ("tpu", "axon")
+        return dssim_pallas(x, y, interp).astype(x.dtype)
     mu_x = _avg_pool3(x)
     mu_y = _avg_pool3(y)
     sigma_x = _avg_pool3(x * x) - mu_x * mu_x
