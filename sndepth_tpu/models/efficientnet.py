@@ -1,5 +1,8 @@
 """EfficientNet feature encoder (TPU-native, NHWC, Flax).
 
+BatchNorm epsilon is 1e-3 (the TF default baked into ``tf_efficientnet``
+checkpoints) — required for converted-weight parity.
+
 Replaces the reference's hub-downloaded ``tf_efficientnet_b5_ap``
 (`/root/reference/submodules/encoder.py:6-30`), which strips the classifier
 and returns every intermediate block output. Here the network is built from
@@ -92,18 +95,20 @@ class MBConv(nn.Module):
         h = x
         if s.expand != 1:
             h = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype)(h)
-            h = nn.BatchNorm(use_running_average=not train,
+            h = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
                              dtype=self.dtype)(h)
             h = nn.silu(h)
         h = nn.Conv(mid, (s.kernel, s.kernel), strides=(self.stride,) * 2,
                     padding="SAME", feature_group_count=mid, use_bias=False,
                     dtype=self.dtype)(h)
-        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
+        h = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                         dtype=self.dtype)(h)
         h = nn.silu(h)
         h = SqueezeExcite(max(1, int(self.in_ch * s.se_ratio)),
                           self.dtype)(h)
         h = nn.Conv(s.out_ch, (1, 1), use_bias=False, dtype=self.dtype)(h)
-        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
+        h = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                         dtype=self.dtype)(h)
         if self.stride == 1 and self.in_ch == s.out_ch:
             h = h + residual
         return h
@@ -124,7 +129,8 @@ class EfficientNetEncoder(nn.Module):
         feats: dict[str, Array] = {}
         h = nn.Conv(self.stem_ch, (3, 3), strides=(2, 2), padding="SAME",
                     use_bias=False, dtype=self.dtype)(x)
-        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
+        h = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                         dtype=self.dtype)(h)
         h = nn.silu(h)
         feats["stem"] = h
 
@@ -139,7 +145,8 @@ class EfficientNetEncoder(nn.Module):
 
         h = nn.Conv(self.head_ch, (1, 1), use_bias=False,
                     dtype=self.dtype)(h)
-        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
+        h = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                         dtype=self.dtype)(h)
         h = nn.silu(h)
         feats["head"] = h
         return feats
