@@ -445,7 +445,8 @@ def _skew_last(v: Array) -> Array:
 
 def gauss_newton_step(Ts: Array, ae: Array, target: Array, weight: Array,
                       depth: Array, intrinsics: Array, radius: int = 32,
-                      lm: float = 1e-4, ep: float = 10.0) -> Array:
+                      lm: float = 1e-4, ep: float = 10.0,
+                      block_size: int | None = None) -> Array:
     """One dense embedding-weighted Gauss-Newton update
     (`se3_field.py:146-167` + the semantics of the ``se3_build_inplace``
     CUDA kernel).
@@ -457,9 +458,13 @@ def gauss_newton_step(Ts: Array, ae: Array, target: Array, weight: Array,
     ``sigmoid(-||ae_i/8 - ae_j/8||^2)`` (`se3_field.py:111-121,154`).
 
     Ts: (B, H, W, 7); ae: (B, H, W, 32); target/weight: (B, H, W, 3);
-    depth: (B, H, W); intrinsics: (B, 4). O(N^2) memory at 1/8 res — the
-    same quadratic object as the correlation volume; fine at KITTI scale,
-    Pallas-blockable beyond.
+    depth: (B, H, W); intrinsics: (B, 4).
+
+    The per-pair object is O(N^2): single-shot up to ~2k pixels (KITTI
+    1/8-res is 832), otherwise the j axis is accumulated in
+    ``block_size`` chunks under ``lax.scan`` (O(N * block) memory, same
+    math — sums just reassociate), which keeps full-resolution KITTI
+    (47x156 = 7.3k pixels, 3.9 GB if materialized) on-chip.
     """
     b, h, w, _ = Ts.shape
     n = h * w
@@ -472,68 +477,116 @@ def gauss_newton_step(Ts: Array, ae: Array, target: Array, weight: Array,
     pts = pops.inv_project(depth, intrinsics).astype(f32)     # B,H,W,3
     x = (ae.astype(f32) / 8.0).reshape(b, n, -1)
     sq = jnp.sum(x * x, axis=-1)
-    dist = (2.0 * jnp.einsum("bic,bjc->bij", x, x,
-                             preferred_element_type=f32)
-            - sq[:, :, None] - sq[:, None, :])
-    attn = jax.nn.sigmoid(dist)                                # B,Ni,Nj
 
     gy = jnp.repeat(jnp.arange(h), w)
     gx = jnp.tile(jnp.arange(w), h)
-    within = ((jnp.abs(gy[:, None] - gy[None, :]) <= radius) &
-              (jnp.abs(gx[:, None] - gx[None, :]) <= radius))
-    attn = attn * within[None].astype(f32)
 
     T_flat = Ts.reshape(b, n, 7).astype(f32)
     rot = se3.matrix(T_flat)[..., :3, :3]                      # B,Ni,3,3
     trans = T_flat[..., :3]                                    # B,Ni,3
     X = pts.reshape(b, n, 3)                                   # B,Nj,3
+    tgt = target.astype(f32).reshape(b, n, 3)                  # B,Nj,3
+    wgt = weight.astype(f32).reshape(b, n, 3)
 
-    # P_m[b, i, j] = (R_i X_j + t_i)_m as three (B, Ni, Nj) planes.
-    P = (jnp.einsum("bimn,bjn->bmij", rot, X,
-                    preferred_element_type=f32)
-         + trans.transpose(0, 2, 1)[:, :, :, None])            # B,3,Ni,Nj
-    Px, Py, Pz = P[:, 0], P[:, 1], P[:, 2]
     fx = intrinsics[:, 0, None, None].astype(f32)
     fy = intrinsics[:, 1, None, None].astype(f32)
     cx = intrinsics[:, 2, None, None].astype(f32)
     cy = intrinsics[:, 3, None, None].astype(f32)
-    dinv = 1.0 / Pz
-    d2 = dinv * dinv
 
-    tgt = target.astype(f32).reshape(b, n, 3)                  # B,Nj,3
-    r_u = tgt[:, None, :, 0] - (fx * Px * dinv + cx)           # B,Ni,Nj
-    r_v = tgt[:, None, :, 1] - (fy * Py * dinv + cy)
-    r_z = tgt[:, None, :, 2] - dinv
+    def accumulate(Xj, xj, sqj, gyj, gxj, tgtj, wgtj):
+        """Partial (H, g) from one chunk of j columns (B, cj, ...)."""
+        dist = (2.0 * jnp.einsum("bic,bjc->bij", x, xj,
+                                 preferred_element_type=f32)
+                - sq[:, :, None] - sqj[:, None, :])
+        attn = jax.nn.sigmoid(dist)                            # B,Ni,cj
+        within = ((jnp.abs(gy[:, None] - gyj[None, :]) <= radius) &
+                  (jnp.abs(gx[:, None] - gxj[None, :]) <= radius))
+        attn = attn * within[None].astype(f32)
 
-    wgt = weight.astype(f32).reshape(b, n, 3)
+        # P_m[b, i, j] = (R_i X_j + t_i)_m as three (B, Ni, cj) planes.
+        P = (jnp.einsum("bimn,bjn->bmij", rot, Xj,
+                        preferred_element_type=f32)
+             + trans.transpose(0, 2, 1)[:, :, :, None])        # B,3,Ni,cj
+        Px, Py, Pz = P[:, 0], P[:, 1], P[:, 2]
+        dinv = 1.0 / Pz
+        d2 = dinv * dinv
 
-    zeros = jnp.zeros_like(Px)
-    # Rows of J = d pi / d delta as (B, 3, Ni, 6, Nj):
-    # d pi / d P @ [I | -[P]x] for tangent order [tau(3), phi(3)].
-    J = jnp.stack([
-        jnp.stack([fx * dinv, zeros, -fx * Px * d2, -fx * Px * Py * d2,
-                   fx * (1.0 + Px * Px * d2), -fx * Py * dinv], 2),
-        jnp.stack([zeros, fy * dinv, -fy * Py * d2,
-                   -fy * (1.0 + Py * Py * d2), fy * Px * Py * d2,
-                   fy * Px * dinv], 2),
-        jnp.stack([zeros, zeros, -d2, -Py * d2, Px * d2, zeros], 2),
-    ], 1)
-    aw = jnp.stack([attn * wgt[:, None, :, 0],
-                    attn * wgt[:, None, :, 1],
-                    attn * wgt[:, None, :, 2]], 1)        # B,3,Ni,Nj
-    # Fold attention*confidence in as sqrt so H = A A^T and g = A r in one
-    # batched matmul each over K = 3*Nj (weights are non-negative, so the
-    # sqrt factorization is exact) — 2.8x faster than 36 separate
-    # plane reductions on v5e.
-    sq_aw = jnp.sqrt(aw)
-    A = (J * sq_aw[:, :, :, None, :]).transpose(0, 2, 3, 1, 4)
-    A = A.reshape(b, n, 6, 3 * n)                          # B,Ni,6,3Nj
-    r_stack = (jnp.stack([r_u, r_v, r_z], 1) * sq_aw)
-    r_stack = r_stack.transpose(0, 2, 1, 3).reshape(b, n, 3 * n)
+        r_u = tgtj[:, None, :, 0] - (fx * Px * dinv + cx)      # B,Ni,cj
+        r_v = tgtj[:, None, :, 1] - (fy * Py * dinv + cy)
+        r_z = tgtj[:, None, :, 2] - dinv
 
-    H = jnp.einsum("bick,bidk->bicd", A, A, preferred_element_type=f32)
-    g = jnp.einsum("bick,bik->bic", A, r_stack,
-                   preferred_element_type=f32)
+        zeros = jnp.zeros_like(Px)
+        # Rows of J = d pi / d delta as (B, 3, Ni, 6, cj):
+        # d pi / d P @ [I | -[P]x] for tangent order [tau(3), phi(3)].
+        J = jnp.stack([
+            jnp.stack([fx * dinv, zeros, -fx * Px * d2,
+                       -fx * Px * Py * d2, fx * (1.0 + Px * Px * d2),
+                       -fx * Py * dinv], 2),
+            jnp.stack([zeros, fy * dinv, -fy * Py * d2,
+                       -fy * (1.0 + Py * Py * d2), fy * Px * Py * d2,
+                       fy * Px * dinv], 2),
+            jnp.stack([zeros, zeros, -d2, -Py * d2, Px * d2, zeros], 2),
+        ], 1)
+        aw = jnp.stack([attn * wgtj[:, None, :, 0],
+                        attn * wgtj[:, None, :, 1],
+                        attn * wgtj[:, None, :, 2]], 1)    # B,3,Ni,cj
+        # Fold attention*confidence in as sqrt so H = A A^T and g = A r in
+        # one batched matmul each over K = 3*cj (weights are non-negative,
+        # so the sqrt factorization is exact) — 2.8x faster than 36
+        # separate plane reductions on v5e.
+        sq_aw = jnp.sqrt(aw)
+        cj = Xj.shape[1]
+        A = (J * sq_aw[:, :, :, None, :]).transpose(0, 2, 3, 1, 4)
+        A = A.reshape(b, n, 6, 3 * cj)                     # B,Ni,6,3cj
+        r_stack = (jnp.stack([r_u, r_v, r_z], 1) * sq_aw)
+        r_stack = r_stack.transpose(0, 2, 1, 3).reshape(b, n, 3 * cj)
+        Hc = jnp.einsum("bick,bidk->bicd", A, A,
+                        preferred_element_type=f32)
+        gc = jnp.einsum("bick,bik->bic", A, r_stack,
+                        preferred_element_type=f32)
+        return Hc, gc
+
+    if block_size is None:
+        # Single shot keeps the O(N^2) intermediates; beyond ~2k pixels
+        # (B, Ni, 6, 3Nj) blows past HBM comfort — accumulate in blocks.
+        block_size = n if n <= 2048 else 1024
+
+    if block_size >= n:
+        H, g = accumulate(X, x, sq, gy, gx, tgt, wgt)
+    else:
+        nb = -(-n // block_size)
+        npad = nb * block_size
+
+        def padj(a, fill=0.0):
+            pad = [(0, 0), (0, npad - n)] + [(0, 0)] * (a.ndim - 2)
+            return jnp.pad(a, pad, constant_values=fill)
+
+        # Padded js carry zero confidence and an off-grid position, so
+        # they contribute nothing. Their point is (0, 0, 1) — z=1 keeps
+        # 1/Pz finite (0 would make J infinite and 0*inf = NaN the sums).
+        zpoint = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], f32),
+                                  (b, npad - n, 3))
+        Xp = jnp.concatenate([X, zpoint], axis=1)
+        xp, tgtp, wgtp = padj(x), padj(tgt), padj(wgt)
+        sqp = jnp.pad(sq, ((0, 0), (0, npad - n)))
+        gyp = jnp.pad(gy, (0, npad - n), constant_values=10 ** 6)
+        gxp = jnp.pad(gx, (0, npad - n), constant_values=10 ** 6)
+
+        def body(carry, i):
+            def slj(a):
+                return jax.lax.dynamic_slice_in_dim(a, i * block_size,
+                                                    block_size, axis=1)
+            Hc, gc = accumulate(
+                slj(Xp), slj(xp), slj(sqp),
+                jax.lax.dynamic_slice_in_dim(gyp, i * block_size,
+                                             block_size),
+                jax.lax.dynamic_slice_in_dim(gxp, i * block_size,
+                                             block_size),
+                slj(tgtp), slj(wgtp))
+            return (carry[0] + Hc, carry[1] + gc), None
+
+        init = (jnp.zeros((b, n, 6, 6), f32), jnp.zeros((b, n, 6), f32))
+        (H, g), _ = jax.lax.scan(body, init, jnp.arange(nb))
 
     eye = jnp.eye(6, dtype=f32)
     H = H + lm * H * eye + ep * eye

@@ -144,3 +144,30 @@ def test_raft2d_smoke():
     flow = model.apply(variables, img1, img2, iters=2)
     assert flow.shape == (b, h, w, 2)
     assert np.isfinite(np.asarray(flow)).all()
+
+
+def test_gauss_newton_blocked_matches_single_shot():
+    # Blocked j-accumulation (the full-resolution path) must match the
+    # single-shot O(N^2) form; block size deliberately non-dividing.
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from sndepth_tpu.models.raft3d import gauss_newton_step
+    from sndepth_tpu.ops import se3
+
+    rng = np.random.RandomState(0)
+    b, h, w = 1, 6, 9
+    Ts = se3.exp(jnp.asarray(rng.randn(b, h, w, 6) * 0.01, jnp.float32))
+    ae = jnp.asarray(rng.randn(b, h, w, 16), jnp.float32)
+    target = jnp.asarray(rng.rand(b, h, w, 3) * 4, jnp.float32)
+    weight = jnp.asarray(rng.rand(b, h, w, 3), jnp.float32)
+    depth = jnp.asarray(1.0 + rng.rand(b, h, w) * 3, jnp.float32)
+    intr = jnp.asarray([[40.0, 42.0, 4.5, 3.0]], jnp.float32)
+
+    full = gauss_newton_step(Ts, ae, target, weight, depth, intr,
+                             radius=4, block_size=h * w)
+    blocked = gauss_newton_step(Ts, ae, target, weight, depth, intr,
+                                radius=4, block_size=16)
+    np.testing.assert_allclose(np.asarray(blocked), np.asarray(full),
+                               atol=2e-5)
+    assert np.isfinite(np.asarray(blocked)).all()
