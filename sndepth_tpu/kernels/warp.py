@@ -54,6 +54,7 @@ images, so that branch is dead code XLA eliminates.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -410,9 +411,16 @@ def _forward_bwd(mode, res, g):
 
 
 def _scatter_d_imgs(imgs, coords, g, mode):
-    """XLA scatter-add image gradient (dead-code-eliminated when the
-    warped array is an input image rather than a differentiated tensor)."""
+    """Image gradient of the warp: bilinear *splat* of the cotangent.
+
+    Dead-code-eliminated when the warped array is an input image rather
+    than a differentiated tensor. When live (warp-of-flow in the GeoNet
+    stage-2 losses, warped features in training), XLA's scatter-add
+    serializes at ~16M rows/s and dominated the stage-2 step — the Pallas
+    splat kernel below replaces it where the shape gate allows."""
     b, h, w, nch = imgs.shape
+    if _splat_ok(h, w, nch, coords):
+        return _splat(coords, g, h, w, mode).astype(imgs.dtype)
     x = coords[..., 0].astype(jnp.float32)
     y = coords[..., 1].astype(jnp.float32)
     x0i, x1i, y0i, y1i, wx0, wx1, wy0, wy1, _ = _tap_setup(
@@ -424,6 +432,224 @@ def _scatter_d_imgs(imgs, coords, g, mode):
         for xi, wxv in ((x0i, wx0), (x1i, wx1)):
             out = out.at[bidx, yi, xi].add((wyv * wxv)[..., None] * gf)
     return out.astype(imgs.dtype)
+
+
+# The splat replaces the XLA scatter-add when the shape fits; forceable
+# for tests/debug via SNDEPTH_WARP_SPLAT=xla|pallas.
+_SPLAT = os.environ.get("SNDEPTH_WARP_SPLAT", "auto")
+
+
+def _splat_ok(h, w, nch, coords) -> bool:
+    if _SPLAT == "xla":
+        return False
+    plane_bytes = _round_up(h, _SUB) * _round_up(w, _LANE) * nch * 4
+    if plane_bytes > 6 * 1024 * 1024:
+        return False
+    if _SPLAT == "pallas":
+        return True
+    return coords.shape[1] * coords.shape[2] >= 512
+
+
+def _splat_kernel(x_ref, y_ref, v_ref, out_ref, *, h, w, nch, mode):
+    """Transpose of the warp: scatter the 4 bilinear taps of each tile
+    pixel into the VMEM-resident (nch, Hp, Wp) output plane.
+
+    The in-vreg "scatter" is a masked dynamic lane-rotate: a tile pixel at
+    lane l targeting source column x sits at lane shift s = x - l, and
+    smooth warps only produce a handful of distinct shifts per tile, so
+    the fast path loops s over the tile's [smin, smax] range, masks the
+    pixels whose tap has that shift, ``pltpu.roll``\\ s the weighted values
+    into lane position, reduces over sublanes into the single target row,
+    and accumulates per-window registers. Pathological tiles take a
+    bounded fallback looping all 128 shift residues per (row, chunk).
+    The output block stays resident across the whole grid row of one
+    batch image (constant index_map), so cross-tile collisions just
+    accumulate sequentially.
+    """
+    hp, wp = out_ref.shape[1], out_ref.shape[2]
+    nchunk = wp // _LANE
+    # 24-row window: a tile spans 8 output rows, alignment eats up to 7,
+    # leaving +-4 rows of y-jitter headroom (16 left only +-0.5).
+    kwin = min(_round_up(24, _SUB), hp)
+    cwin = min(_CWIN, nchunk)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        out_ref[...] = jnp.zeros(out_ref.shape, jnp.float32)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 1)
+    subl = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 0)
+
+    def collapse(acc, r):
+        """Sum an (8,128) partial over sublanes into sublane r."""
+        total = jnp.sum(acc, axis=0, keepdims=True)
+        return jnp.broadcast_to(total, (_SUB, _LANE)) * (
+            subl == r).astype(jnp.float32)
+
+    for t in range(_TPS):
+        sl = slice(t * _SUB, (t + 1) * _SUB)
+        x = x_ref[0, sl].astype(jnp.float32)
+        y = y_ref[0, sl].astype(jnp.float32)
+        (x0i, x1i, y0i, y1i, wx0, wx1, wy0, wy1, _) = _tap_setup(
+            x, y, h, w, mode)
+        vs = [v_ref[0, ch, sl].astype(jnp.float32) for ch in range(nch)]
+
+        q0 = x0i // _LANE
+        q1 = x1i // _LANE
+        s0 = x0i - lane
+        s1 = x1i - lane
+        smin = jnp.minimum(jnp.min(s0), jnp.min(s1))
+        smax = jnp.maximum(jnp.max(s0), jnp.max(s1))
+
+        ymin = jnp.min(y0i)
+        ymax = jnp.max(y1i)
+        cminv = jnp.min(q0)
+        cmaxv = jnp.max(q1)
+        ybase = jnp.clip((ymin // _SUB) * _SUB, 0, hp - kwin)
+        cbase = jnp.clip(cminv, 0, nchunk - cwin)
+        fast = ((ymax - ybase < kwin) & (cmaxv - cbase < cwin)
+                & (smax - smin < _LANE))
+
+        # Sublane (row) shifts relative to the accumulator window: a tile
+        # pixel at sublane sr targeting absolute row k sits at
+        # ty = (k - ybase) - sr; (sr + ty) in [0, kwin) by the fast gate,
+        # so after rolling sublanes by ty mod 8 the pixel is at its target
+        # sublane and its target group is (sr + ty) // 8.
+        t0 = (y0i - ybase) - subl
+        t1 = (y1i - ybase) - subl
+        tmin = jnp.minimum(jnp.min(t0), jnp.min(t1))
+        tmax = jnp.maximum(jnp.max(t0), jnp.max(t1))
+
+        @pl.when(fast)
+        def _fast_path():
+            zero = jnp.zeros((_SUB, _LANE), jnp.float32)
+            ngroup = kwin // _SUB
+            pr = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 0)
+
+            def s_fold(s, acc):
+                rot = (s % _LANE).astype(jnp.int32)
+                mx0 = (s0 == s).astype(jnp.float32)
+                mx1 = (s1 == s).astype(jnp.float32)
+                xs_ci = []
+                for ci in range(cwin):
+                    c = cbase + ci
+                    xs_ci.append(wx0 * (q0 == c).astype(jnp.float32) * mx0
+                                 + wx1 * (q1 == c).astype(jnp.float32)
+                                 * mx1)
+
+                def ty_fold(ty, acc):
+                    yt = (wy0 * (t0 == ty).astype(jnp.float32)
+                          + wy1 * (t1 == ty).astype(jnp.float32))
+                    srot = jnp.full((_SUB, _LANE), (ty % _SUB),
+                                    jnp.int32)
+                    # post-roll sublane p held source sublane (p - ty)%8,
+                    # whose target group is ((p - ty)%8 + ty) // 8
+                    gidx = ((pr - ty) % _SUB + ty) // _SUB
+                    acc = list(acc)
+                    for ci in range(cwin):
+                        mm = xs_ci[ci] * yt
+                        for ch in range(nch):
+                            u = pltpu.roll(vs[ch] * mm, rot, 1)
+                            u = jnp.take_along_axis(
+                                u, (pr - srot) % _SUB, axis=0)
+                            for g in range(ngroup):
+                                gm = (gidx == g).astype(jnp.float32)
+                                idx = (ch * ngroup + g) * cwin + ci
+                                acc[idx] = acc[idx] + u * gm
+                    return tuple(acc)
+
+                return jax.lax.fori_loop(tmin, tmax + 1, ty_fold, acc)
+
+            init = tuple([zero] * (nch * ngroup * cwin))
+            accs = jax.lax.fori_loop(smin, smax + 1, s_fold, init)
+            for ch in range(nch):
+                for g in range(ngroup):
+                    for ci in range(cwin):
+                        acc = accs[(ch * ngroup + g) * cwin + ci]
+                        row0 = pl.multiple_of(ybase + g * _SUB, _SUB)
+                        col0 = pl.multiple_of((cbase + ci) * _LANE, _LANE)
+                        blk = out_ref[0, ch, pl.ds(row0, _SUB),
+                                      pl.ds(col0, _LANE)]
+                        out_ref[0, ch, pl.ds(row0, _SUB),
+                                pl.ds(col0, _LANE)] = blk + acc
+
+        @pl.when(jnp.logical_not(fast))
+        def _slow_path():
+            # Loop the tile's actual shift range when it is narrower than
+            # a full rotation (residue masks match exactly once there);
+            # fall back to all 128 residues otherwise.
+            narrow = smax - smin < _LANE
+            s_lo = jnp.where(narrow, smin, 0)
+            s_hi = jnp.where(narrow, smax + 1, _LANE)
+
+            def row_body(k, _):
+                roww = (wy0 * (y0i == k).astype(jnp.float32)
+                        + wy1 * (y1i == k).astype(jnp.float32))
+                kg = pl.multiple_of((k // _SUB) * _SUB, _SUB)
+                kr = k % _SUB
+
+                def chunk_body(c, _):
+                    base = pl.multiple_of(c * _LANE, _LANE)
+                    w0 = wx0 * (q0 == c).astype(jnp.float32) * roww
+                    w1 = wx1 * (q1 == c).astype(jnp.float32) * roww
+
+                    def fold(s, cc):
+                        rot = (s % _LANE).astype(jnp.int32)
+                        mm = (w0 * ((s0 - s) % _LANE == 0
+                                    ).astype(jnp.float32)
+                              + w1 * ((s1 - s) % _LANE == 0
+                                      ).astype(jnp.float32))
+                        return [a + pltpu.roll(v * mm, rot, 1)
+                                for a, v in zip(cc, vs)]
+
+                    got = jax.lax.fori_loop(
+                        s_lo, s_hi, fold,
+                        [jnp.zeros((_SUB, _LANE), jnp.float32)] * nch)
+                    for ch in range(nch):
+                        blk = out_ref[0, ch, pl.ds(kg, _SUB),
+                                      pl.ds(base, _LANE)]
+                        out_ref[0, ch, pl.ds(kg, _SUB),
+                                pl.ds(base, _LANE)] = (
+                            blk + collapse(got[ch], kr))
+                    return 0
+
+                return jax.lax.fori_loop(cminv, cmaxv + 1, chunk_body, 0)
+
+            jax.lax.fori_loop(ymin, ymax + 1, row_body, 0)
+
+
+def _splat(coords, g, h, w, mode):
+    """(B,Ht,Wt,2) coords + (B,Ht,Wt,C) cotangent -> (B,h,w,C) splat."""
+    b, ht, wt, nch = g.shape
+    planes_shape = jnp.zeros((b, h, w, nch), jnp.float32)
+    _, xs, ys, (_, _, _, _, _, _, htp, wtp) = _prep(planes_shape, coords)
+    hp = _round_up(h, _SUB)
+    wp = _round_up(w, _LANE)
+
+    gf = jnp.transpose(g.astype(jnp.float32), (0, 3, 1, 2))
+    gf = jnp.pad(gf, ((0, 0), (0, 0), (0, htp - ht), (0, wtp - wt)))
+    gb = _block(gf.reshape(b * nch, htp, wtp))
+    nrows = xs.shape[1]
+    if gb.shape[1] != nrows:
+        gb = jnp.pad(gb, ((0, 0), (0, nrows - gb.shape[1]), (0, 0)))
+    gb = gb.reshape(b, nch, nrows, _LANE)
+
+    grid = (b, nrows // (_SUB * _TPS))
+    out = pl.pallas_call(
+        functools.partial(_splat_kernel, h=h, w=w, nch=nch, mode=mode),
+        grid=grid,
+        in_specs=[_coord_spec(), _coord_spec(),
+                  pl.BlockSpec((1, nch, _SUB * _TPS, _LANE),
+                               lambda bi, t: (bi, 0, t, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, nch, hp, wp),
+                               lambda bi, t: (bi, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, nch, hp, wp), jnp.float32),
+        interpret=_interpret(),
+    )(xs, ys, gb)
+    out = out[:, :, :h, :w]
+    return jnp.transpose(out, (0, 2, 3, 1))
 
 
 bilinear_sampler.defvjp(_forward_fwd, _forward_bwd)

@@ -81,3 +81,74 @@ def test_kernel_flow_warp_matches():
     got = np.asarray(pallas_flow_warp(src, flow))
     want = np.asarray(flow_warp(src, flow))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_splat_matches_xla_scatter():
+    # Force the Pallas splat (tiny shapes would otherwise fall back) and
+    # compare against the XLA scatter-add formulation for both modes.
+    import sndepth_tpu.kernels.warp as kw
+    old = kw._SPLAT
+    rng = np.random.RandomState(7)
+    imgs = jnp.asarray(rng.rand(2, 13, 37, 3), jnp.float32)
+    coords = jnp.asarray(
+        rng.uniform(-5, 45, (2, 11, 29, 2)), jnp.float32)
+    g = jnp.asarray(rng.rand(2, 11, 29, 3), jnp.float32)
+    try:
+        for mode in ("edge_zero", "zero_pad"):
+            kw._SPLAT = "xla"
+            want = np.asarray(kw._scatter_d_imgs(imgs, coords, g, mode))
+            kw._SPLAT = "pallas"
+            got = np.asarray(kw._scatter_d_imgs(imgs, coords, g, mode))
+            # 3e-4: at edge-clamp sites the (huge, cancelling) corner
+            # weights leave ~1e-4 float residue in the XLA scatter's
+            # sequential adds; the splat cancels them exactly.
+            np.testing.assert_allclose(got, want, atol=3e-4, err_msg=mode)
+    finally:
+        kw._SPLAT = old
+
+
+def test_splat_smooth_coords_fast_path():
+    import sndepth_tpu.kernels.warp as kw
+    old = kw._SPLAT
+    rng = np.random.RandomState(8)
+    b, h, w, c = 1, 24, 256, 2
+    imgs = jnp.asarray(rng.rand(b, h, w, c), jnp.float32)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    grid = np.stack([xs, ys], -1)[None]
+    coords = jnp.asarray(grid + rng.uniform(-1.5, 1.5, grid.shape)
+                         .astype(np.float32))
+    g = jnp.asarray(rng.rand(b, h, w, c), jnp.float32)
+    try:
+        for mode in ("edge_zero", "zero_pad"):
+            kw._SPLAT = "xla"
+            want = np.asarray(kw._scatter_d_imgs(imgs, coords, g, mode))
+            kw._SPLAT = "pallas"
+            got = np.asarray(kw._scatter_d_imgs(imgs, coords, g, mode))
+            np.testing.assert_allclose(got, want, atol=1e-5, err_msg=mode)
+    finally:
+        kw._SPLAT = old
+
+
+def test_warp_of_flow_gradients_with_splat():
+    # End-to-end: grad w.r.t. a *warped* (differentiated) field — the
+    # stage-2 train_flow pattern — must agree between splat and scatter.
+    import sndepth_tpu.kernels.warp as kw
+    old = kw._SPLAT
+    rng = np.random.RandomState(9)
+    flow = jnp.asarray(rng.rand(1, 16, 140, 2), jnp.float32)
+    coords = jnp.asarray(
+        np.stack(np.meshgrid(np.arange(140), np.arange(16),
+                             indexing="xy"), -1)[None]
+        + rng.uniform(-2, 2, (1, 16, 140, 2)), jnp.float32)
+
+    def loss(f):
+        return jnp.sum(kw.bilinear_sampler(f, coords, "edge_zero") ** 2)
+
+    try:
+        kw._SPLAT = "xla"
+        want = np.asarray(jax.grad(loss)(flow))
+        kw._SPLAT = "pallas"
+        got = np.asarray(jax.grad(loss)(flow))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+    finally:
+        kw._SPLAT = old
