@@ -10,6 +10,14 @@ Landed:
 * ``dssim`` — fused 3x3-window SSIM dissimilarity forward plus an
   analytic-adjoint backward (one VMEM pass each, separable pooling);
   replaced ~45 ms of reduce_window+fusion time in the train step.
+* ``warp`` splat — the warp VJP's image gradient (bilinear splat) as
+  masked lane/sublane rotations grouped by shift (the tap weights factor
+  as X_s * Y_ty), accumulating into a VMEM-resident plane. 1.9x XLA's
+  serialized scatter-add even on adversarial coords; GeoNet stage-2
+  train_flow went 1.96 s -> 686 ms/step. (The same shift-grouping
+  applied to the *forward* gather measured 7x SLOWER than the
+  take_along_axis fast path — dynamic rolls are expensive relative to
+  in-vreg gathers; rolls only pay where the alternative is XLA scatter.)
 
 Related XLA-level rewrites that obviated planned kernels:
 * RAFT3D correlation lookup: slab-gather formulation (contiguous
