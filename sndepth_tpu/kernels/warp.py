@@ -122,7 +122,13 @@ def _tap_setup(x, y, h, w, mode):
     raise ValueError(f"unknown mode {mode!r}")
 
 
-_KWIN = 16            # fast-path row window (2 aligned 8-row groups)
+_KWIN = 16            # fast-path row window (2 aligned 8-row groups).
+                      # Trade-off, both measured: 24 wins 15% on warps
+                      # with ~+-6 px vertical spread (12.3 vs 14.6 ms,
+                      # fewer slow-path tiles) but loses 5% on the real
+                      # GeoNet train step (1473 vs 1549 f/s — rigid-flow
+                      # dy spread is sub-row there and the wider window
+                      # is pure overhead). 16 favors the dominant case.
 _CWIN = 2             # fast-path lane-chunk window
 
 
