@@ -11,7 +11,7 @@ Known reference artifacts (same Drive ids the reference hardcodes):
 Usage:
     python -m sndepth_tpu.cli.download_checkpoints nyu --dest checkpoints/
     python -m sndepth_tpu.cli.download_checkpoints --id <drive-id> \
-        --dest checkpoints/ --name custom.pt
+        --dest checkpoints/ --name_out custom.pt
 
 Requires network egress; in sealed environments place the files manually
 and run the converter directly.
@@ -34,20 +34,57 @@ _URL = "https://docs.google.com/uc?export=download"
 _CHUNK = 32768
 
 
+def _parse_confirm_form(html: str) -> tuple[str, dict] | None:
+    """Extract (action_url, hidden fields) from Drive's interstitial
+    'can't scan for viruses' confirm form, if present."""
+    import re
+    m = re.search(r'<form[^>]+action="([^"]+)"', html)
+    if not m:
+        return None
+    action = m.group(1).replace("&amp;", "&")
+    fields = dict(re.findall(
+        r'<input[^>]+name="([^"]+)"[^>]+value="([^"]*)"', html))
+    return action, fields
+
+
 def download_file_from_google_drive(file_id: str, destination: str) -> None:
-    """Drive download with the confirm-token dance for large files."""
+    """Drive download, handling the large-file confirm interstitial.
+
+    Modern Drive returns an HTML form (not a download_warning cookie) for
+    files too large to virus-scan; we parse and resubmit it. The body is
+    only written once the response is verifiably not an HTML page, so a
+    quota/error interstitial can never be silently saved as a checkpoint.
+    """
     jar = http.cookiejar.CookieJar()
     opener = urllib.request.build_opener(
         urllib.request.HTTPCookieProcessor(jar))
 
-    def fetch(params: dict):
-        return opener.open(_URL + "?" + urllib.parse.urlencode(params))
+    def fetch(url: str, params: dict):
+        return opener.open(url + "?" + urllib.parse.urlencode(params))
 
-    resp = fetch({"id": file_id})
-    token = next((c.value for c in jar
-                  if c.name.startswith("download_warning")), None)
-    if token:
-        resp = fetch({"id": file_id, "confirm": token})
+    resp = fetch(_URL, {"id": file_id})
+    ctype = resp.headers.get("Content-Type", "")
+    if "text/html" in ctype:
+        # Legacy cookie-token flow, then the current interstitial form.
+        token = next((c.value for c in jar
+                      if c.name.startswith("download_warning")), None)
+        if token:
+            resp = fetch(_URL, {"id": file_id, "confirm": token})
+        else:
+            form = _parse_confirm_form(
+                resp.read().decode("utf-8", "replace"))
+            if form is None:
+                raise RuntimeError(
+                    f"Drive returned an HTML page with no confirm form for "
+                    f"id={file_id} (quota exceeded or file removed?); "
+                    f"refusing to save it as {destination}")
+            action, fields = form
+            resp = fetch(action, fields)
+        ctype = resp.headers.get("Content-Type", "")
+        if "text/html" in ctype:
+            raise RuntimeError(
+                f"Drive confirm flow still returned text/html for "
+                f"id={file_id}; refusing to write {destination}")
 
     with open(destination, "wb") as f:
         while True:

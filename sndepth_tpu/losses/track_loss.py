@@ -86,20 +86,29 @@ def hungarian_match(cost: Array, valid_cols: Array) -> tuple[Array, Array]:
 
     out_shape = (jax.ShapeDtypeStruct((ng,), jnp.int32),
                  jax.ShapeDtypeStruct((ng,), jnp.int32))
-    return jax.pure_callback(_solve, out_shape, cost, valid_cols,
+    # Assignment is discrete: gradients never flow through it (the
+    # reference's scipy matcher runs under no_grad likewise), so detach
+    # the cost — pure_callback has no JVP rule.
+    return jax.pure_callback(_solve, out_shape,
+                             jax.lax.stop_gradient(cost),
+                             jax.lax.stop_gradient(valid_cols),
                              vmap_method="sequential")
 
 
 def match_frame(logits: Array, boxes: Array, gt_labels: Array,
                 gt_boxes: Array, gt_valid: Array,
                 pinned_query: Array | None = None,
-                cls_weight: float = 2.0, bbox_weight: float = 0.25
+                cls_weight: float = 2.0, bbox_weight: float = 0.25,
+                exclude_query: Array | None = None
                 ) -> tuple[Array, Array]:
     """Assign GTs to queries (ClipMatcher inner step).
 
     ``pinned_query[g]`` >= 0 pins GT g to that query slot (an object
     already tracked keeps its slot, `track_loss.py` per-frame logic);
     unmatched GTs go through Hungarian on the remaining queries.
+    ``exclude_query`` (nq,) bool removes slots from Hungarian competition
+    (the reference only matches slots with obj_idx == -1; sdc/FP slots are
+    -2, `track_loss.py:415-418`).
     Returns (assigned_query_per_gt (ng,), matched mask (ng,)).
     """
     nq = logits.shape[0]
@@ -114,6 +123,8 @@ def match_frame(logits: Array, boxes: Array, gt_labels: Array,
     pinned_mask_q = jnp.zeros((nq,), bool)
     pinned_mask_q = pinned_mask_q.at[
         jnp.clip(pinned_query, 0, nq - 1)].set(pinned_query >= 0)
+    if exclude_query is not None:
+        pinned_mask_q = pinned_mask_q | exclude_query
     cost = jnp.where(pinned_mask_q[:, None], 1e9, cost)
 
     need_match = gt_valid & (pinned_query < 0)
@@ -126,12 +137,19 @@ def match_frame(logits: Array, boxes: Array, gt_labels: Array,
 def frame_losses(logits: Array, boxes: Array, gt_labels: Array,
                  gt_boxes: Array, gt_valid: Array, assigned: Array,
                  matched: Array, num_classes: int,
-                 num_boxes: Array | None = None) -> dict:
-    """Focal cls over all queries + L1 over matched pairs.
+                 num_boxes: Array | None = None,
+                 cls_weight: float = 1.0, bbox_weight: float = 1.0,
+                 code_weights=None, sdc_slot: int | None = None,
+                 sdc_label: Array | None = None,
+                 sdc_box: Array | None = None) -> dict:
+    """Focal cls over all queries + (code-)weighted L1 over matched pairs.
 
     ``num_boxes`` is the cross-device box count for normalization; under
     pjit/pmap pass ``jax.lax.psum(local_count, 'data')`` (the reference's
     world-size normalization, `track_loss.py:28-41`).
+    With ``sdc_slot`` set, the ego (sdc) query contributes an extra cls +
+    bbox term against ``sdc_label``/``sdc_box`` (`track_loss.py:251-262,
+    303-328`).
     """
     nq = logits.shape[0]
     if num_boxes is None:
@@ -142,13 +160,132 @@ def frame_losses(logits: Array, boxes: Array, gt_labels: Array,
     safe_q = jnp.clip(assigned, 0, nq - 1)
     updates = jax.nn.one_hot(gt_labels, num_classes) * matched[:, None]
     onehot = onehot.at[safe_q].add(updates)
+    if sdc_slot is not None and sdc_label is not None:
+        onehot = onehot.at[sdc_slot].set(
+            jax.nn.one_hot(sdc_label, num_classes))
     onehot = jnp.clip(onehot, 0.0, 1.0)
     loss_cls = jnp.sum(sigmoid_focal_loss(logits, onehot)) / num_boxes
 
+    cw = (jnp.asarray(code_weights, boxes.dtype) if code_weights is not None
+          else jnp.ones((boxes.shape[-1],), boxes.dtype))
     pred = boxes[safe_q]
-    l1 = jnp.sum(jnp.abs(pred - gt_boxes), axis=-1) * matched
-    loss_bbox = jnp.sum(l1) / num_boxes
-    return {"loss_cls": loss_cls, "loss_bbox": loss_bbox}
+    l1 = jnp.sum(jnp.abs(pred - gt_boxes) * cw, axis=-1) * matched
+    loss_bbox = jnp.sum(l1)
+    if sdc_slot is not None and sdc_box is not None:
+        loss_bbox = loss_bbox + jnp.sum(
+            jnp.abs(boxes[sdc_slot] - sdc_box) * cw)
+    loss_bbox = loss_bbox / num_boxes
+    return {"loss_cls": cls_weight * loss_cls,
+            "loss_bbox": bbox_weight * loss_bbox}
+
+
+def past_traj_loss(pred_trajs: Array, gt_trajs: Array, gt_traj_mask: Array,
+                   assigned: Array, matched: Array) -> Array:
+    """Masked L1 past-trajectory loss (`track_loss.py:191-234`).
+
+    pred_trajs: (nq, steps, 2); gt_trajs/gt_traj_mask: (ng, steps, 2);
+    assigned/matched: (ng,) query index per GT / valid-match mask.
+    compute_past_traj_loss: sum(|src-tgt| * mask) / (sum(mask>0) + 1e-5).
+    """
+    nq = pred_trajs.shape[0]
+    safe_q = jnp.clip(assigned, 0, nq - 1)
+    src = pred_trajs[safe_q]                          # (ng, steps, 2)
+    m = gt_traj_mask * matched[:, None, None]
+    loss = jnp.sum(jnp.abs(src - gt_trajs) * m)
+    return loss / (jnp.sum((m > 0).astype(loss.dtype)) + 1e-5)
+
+
+# Default mmdet code_weights (`track_loss.py:67-69`), truncated to the
+# 10-dim track box layout [cx, cy, w, l, cz, h, sin, cos, vx, vy]: the
+# velocity dims are down-weighted.
+CODE_WEIGHTS_10 = (1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.2, 0.2)
+
+
+def train_frame_layer_losses(
+        layer_logits: Array, layer_boxes: Array, layer_trajs: Array,
+        obj_idxes: Array, gt: dict, num_classes: int,
+        cls_weight: float = 2.0, bbox_weight: float = 0.25,
+        traj_weight: float = 1.0, sdc_slot: int | None = None,
+        axis_name: str | None = None) -> tuple[dict, Array, Array, Array]:
+    """One training frame of the ClipMatcher over every decoder layer
+    (`track_loss.py:352-556` match_for_single_frame, incl. the aux-layer
+    loop at `:524-553`).
+
+    layer_*: (L, nq, ...) per-decoder-layer predictions; the FINAL layer's
+    matching decides the track->GT binding carried to the next frame; each
+    aux layer re-matches the unmatched slots against its own predictions
+    but shares the pinned (already-tracked) assignments, exactly as the
+    reference re-runs ``match_for_single_decoder_layer`` per aux output.
+
+    obj_idxes: (nq,) GT instance ids currently bound to slots (-1 free,
+    -2 reserved: sdc/FP slots never enter matching).
+    gt: {labels (ng,), boxes (ng,10), valid (ng,), instance_ids (ng,),
+         past_traj (ng,steps,2), past_traj_mask (ng,steps,2),
+         sdc_label () , sdc_box (10,)}  (sdc_* optional).
+
+    Returns (losses dict with loss_cls/loss_bbox/loss_past_trajs summed
+    over layers, new_obj_idxes, final assigned (ng,), final matched (ng,)).
+    """
+    num_layers, nq = layer_logits.shape[:2]
+    inst = gt["instance_ids"]
+
+    # Pinning: GT g sits on slot q if obj_idxes[q] == instance_ids[g] >= 0.
+    same = (obj_idxes[None, :] == inst[:, None]) & (inst[:, None] >= 0)
+    pinned = jnp.where(jnp.any(same, axis=1),
+                       jnp.argmax(same, axis=1), -1).astype(jnp.int32)
+
+    # Slots excluded from Hungarian competition: already bound or reserved.
+    reserved = obj_idxes != -1
+    if sdc_slot is not None:
+        reserved = reserved | (jnp.arange(nq) == sdc_slot)
+
+    # num_samples accounting (`track_loss.py:509`): GTs + disappeared
+    # tracks (slots bound to an instance absent from this frame's GT).
+    bound = obj_idxes >= 0
+    present = jnp.any((obj_idxes[:, None] == inst[None, :]) &
+                      (gt["valid"][None, :]), axis=1)
+    num_disappear = jnp.sum((bound & ~present).astype(jnp.float32))
+    num_valid_gt = jnp.sum(gt["valid"].astype(jnp.float32))
+    num_samples = num_valid_gt + num_disappear
+
+    def one_layer(logits, boxes, trajs, final):
+        assigned, matched = match_frame(
+            logits, boxes, gt["labels"], gt["boxes"], gt["valid"], pinned,
+            exclude_query=reserved)
+        nb = jnp.maximum(num_samples, 1.0)
+        if axis_name is not None:
+            nb = jnp.maximum(jax.lax.pmean(num_samples, axis_name), 1.0)
+        losses = frame_losses(logits, boxes, gt["labels"], gt["boxes"],
+                              gt["valid"], assigned, matched, num_classes,
+                              num_boxes=nb, cls_weight=cls_weight,
+                              bbox_weight=bbox_weight,
+                              code_weights=CODE_WEIGHTS_10,
+                              sdc_slot=sdc_slot,
+                              sdc_label=gt.get("sdc_label"),
+                              sdc_box=gt.get("sdc_box"))
+        losses["loss_past_trajs"] = traj_weight * past_traj_loss(
+            trajs, gt["past_traj"], gt["past_traj_mask"], assigned, matched)
+        return losses, assigned, matched
+
+    total = {"loss_cls": 0.0, "loss_bbox": 0.0, "loss_past_trajs": 0.0}
+    final_assigned = final_matched = None
+    for li in range(num_layers):
+        is_final = li == num_layers - 1
+        losses, assigned, matched = one_layer(
+            layer_logits[li], layer_boxes[li], layer_trajs[li], is_final)
+        for k in total:
+            total[k] = total[k] + losses[k]
+        if is_final:
+            final_assigned, final_matched = assigned, matched
+
+    # Bind newly matched slots to their GT instance ids (final layer only,
+    # `track_loss.py:479-484`).
+    new_obj = obj_idxes
+    upd = final_matched & (pinned < 0)
+    safe_q = jnp.clip(final_assigned, 0, nq - 1)
+    new_obj = new_obj.at[safe_q].set(
+        jnp.where(upd, inst, new_obj[safe_q]))
+    return total, new_obj, final_assigned, final_matched
 
 
 def clip_matcher_loss(per_frame_outputs: list[dict],

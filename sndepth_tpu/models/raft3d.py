@@ -217,9 +217,6 @@ def pool_fmap_pyramid(fmap2: Array, num_levels: int = 4) -> list[Array]:
     return out
 
 
-_CORR_PAD = 8
-
-
 def corr_lookup_dot(fmap1: Array, f2_pyramid: list[Array], coords: Array,
                     radius: int = 3) -> Array:
     """Streaming correlation lookup: never materializes the (N, N) volume.
@@ -241,7 +238,12 @@ def corr_lookup_dot(fmap1: Array, f2_pyramid: list[Array], coords: Array,
     n = h1 * w1
     win = 2 * radius + 1
     q = fmap1.reshape(b, n, c) / 16.0
-    pad = _CORR_PAD
+    # Tight padding for the slab layout: clamp range below allows integer
+    # bases in [-r-2, dim+r], and the slab spans [base-r, base+r+1], so the
+    # extreme tap indices are -2r-2 and dim+2r+1 -> pad = 2r+2 keeps every
+    # slab read inside the padded array for ANY radius (round-1 fixed
+    # pad=8 silently cross-read rows for radius >= 4).
+    pad = 2 * radius + 2
 
     out = []
     for i, f2l in enumerate(f2_pyramid):
@@ -258,10 +260,16 @@ def corr_lookup_dot(fmap1: Array, f2_pyramid: list[Array], coords: Array,
         fx = (x - x0)[..., None, None]
         fy = (y - y0)[..., None, None]
         # The clamp only moves queries whose whole tap window
-        # [c0 - r, c0 + r + 1] misses the image; those read zeros either
-        # way, so values are unaffected while slab starts stay in-bounds.
-        x0i = jnp.clip(x0.astype(jnp.int32), -radius - 1, w2 + radius - 1)
-        y0i = jnp.clip(y0.astype(jnp.int32), -radius - 1, h2 + radius - 1)
+        # [c0 - r, c0 + r + 1] misses the image. Bounds are [-r-2, dim+r]:
+        # a base of -r-2 puts the furthest tap (base+r+1) at -1 and a base
+        # of dim+r puts the nearest tap (base-r) at dim — i.e. a clamped
+        # query's entire window still lies in the zero padding, matching
+        # the reference zero-pad semantics exactly. (Round 1 used
+        # [-r-1, dim+r-1], which let fully-out-of-window queries read the
+        # first/last real row/col — |corr| up to 0.35 where the reference
+        # returns exactly 0.)
+        x0i = jnp.clip(x0.astype(jnp.int32), -radius - 2, w2 + radius)
+        y0i = jnp.clip(y0.astype(jnp.int32), -radius - 2, h2 + radius)
         rows = y0i[..., None] + jnp.arange(-radius, radius + 2)
         starts = (rows + pad) * w2p + (x0i[..., None] - radius + pad)
 

@@ -28,9 +28,8 @@ Array = jax.Array
 
 
 class _Branch(nn.Module):
-    """Shared-across-layers cls/reg MLP (the reference builds one per
-    decoder layer; weight sharing is a documented simplification that
-    keeps per-layer outputs)."""
+    """Per-decoder-layer cls/reg/past-traj MLP (`track_head.py:84-128`
+    builds one clone per layer with with_box_refine=True; same here)."""
     out_dim: int
     hidden: int = 256
     layers: int = 2
@@ -57,6 +56,8 @@ class BEVFormerTrackHead(nn.Module):
     num_cams: int = 6
     num_levels: int = 4
     pc_range: Sequence[float] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    past_steps: int = 4
+    fut_steps: int = 4
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -71,8 +72,17 @@ class BEVFormerTrackHead(nn.Module):
         self.decoder = DetectionTransformerDecoder(
             embed_dims=self.embed_dims, num_layers=self.num_decoder_layers,
             dtype=self.dtype)
-        self.cls_branch = _Branch(self.num_classes, dtype=self.dtype)
-        self.reg_branch = _Branch(10, dtype=self.dtype)
+        # One branch clone per decoder layer (`track_head.py:117-121`).
+        n = self.num_decoder_layers
+        self.cls_branches = [_Branch(self.num_classes, dtype=self.dtype)
+                             for _ in range(n)]
+        self.reg_branches = [_Branch(10, dtype=self.dtype)
+                             for _ in range(n)]
+        # Past-trajectory regression branch (`track_head.py:100-107`):
+        # (past_steps + fut_steps) x 2 offsets per query.
+        self.past_traj_branches = [
+            _Branch((self.past_steps + self.fut_steps) * 2,
+                    dtype=self.dtype) for _ in range(n)]
 
     def bev_positional(self) -> Array:
         ys = (jnp.arange(self.bev_h, dtype=jnp.float32) + 0.5) / self.bev_h
@@ -112,8 +122,8 @@ class BEVFormerTrackHead(nn.Module):
         Returns dict with per-layer logits/boxes and final query state."""
         query_pos, query = jnp.split(object_query, 2, axis=-1)
 
-        def reg_fn(q, _layer):
-            return self.reg_branch(q)
+        def reg_fn(q, layer):
+            return self.reg_branches[layer](q)
 
         states, refs = self.decoder(query, bev, ref_points,
                                     (self.bev_h, self.bev_w), query_pos,
@@ -121,11 +131,14 @@ class BEVFormerTrackHead(nn.Module):
 
         logits_layers = []
         boxes_layers = []
+        traj_layers = []
         for li in range(states.shape[0]):
             q = states[li]
             ref = refs[li - 1] if li > 0 else ref_points
-            logits = self.cls_branch(q)
-            reg = self.reg_branch(q)
+            logits = self.cls_branches[li](q)
+            reg = self.reg_branches[li](q)
+            traj = self.past_traj_branches[li](q).reshape(
+                q.shape[:-1] + (self.past_steps + self.fut_steps, 2))
             ref_inv = inverse_sigmoid(ref)
             cx = jax.nn.sigmoid(reg[..., 0:1] + ref_inv[..., 0:1])
             cy = jax.nn.sigmoid(reg[..., 1:2] + ref_inv[..., 1:2])
@@ -138,10 +151,12 @@ class BEVFormerTrackHead(nn.Module):
                 [cx, cy, reg[..., 2:4], cz, reg[..., 5:10]], axis=-1)
             logits_layers.append(logits)
             boxes_layers.append(boxes)
+            traj_layers.append(traj)
 
         return {
             "all_cls_scores": jnp.stack(logits_layers),
             "all_bbox_preds": jnp.stack(boxes_layers),
+            "all_past_traj_preds": jnp.stack(traj_layers),
             "query_feats": states[-1],
             "ref_pts": refs[-1],
         }

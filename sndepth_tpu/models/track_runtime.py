@@ -43,6 +43,8 @@ class TrackInstances:
     disappear_time: Array   # (N,) int32
     mem_bank: Array         # (N, mem_len, C) embedding FIFO
     mem_valid: Array        # (N, mem_len) bool
+    iou: Array              # (N,) matched-GT IoU (train bookkeeping,
+    #                         `track_uniad.py:210-212`; zeros at inference)
 
     @property
     def num_slots(self) -> int:
@@ -68,6 +70,7 @@ def empty_tracks(num_query: int, embed_dims: int, num_classes: int = 10,
         disappear_time=jnp.zeros((num_query,), jnp.int32),
         mem_bank=jnp.zeros((num_query, mem_len, c)),
         mem_valid=jnp.zeros((num_query, mem_len), bool),
+        iou=jnp.zeros((num_query,)),
     )
 
 
@@ -178,10 +181,46 @@ class MemoryBank(nn.Module):
                               mem_valid=valid)
 
 
+def qim_select_train(tracks: TrackInstances, rng: Array,
+                     random_drop: float = 0.1, fp_ratio: float = 0.3,
+                     iou_thresh: float = 0.5) -> Array:
+    """Train-time QIM slot selection (`modules.py:190-246`
+    ``_select_active_tracks`` / ``_random_drop_tracks`` / ``_add_fp_tracks``)
+    as a fixed-capacity masked op.
+
+    Active = bound to a GT with matched IoU above ``iou_thresh``; each
+    active slot is dropped with prob ``random_drop``; then ~``fp_ratio``
+    false-positive slots per kept track are injected, chosen as the
+    top-scoring *inactive* slots (the reference's v2 top-score selection).
+    Returns the (N,) bool mask of slots carried to the next frame.
+    """
+    n = tracks.obj_idxes.shape[0]
+    rng_drop, rng_fp = jax.random.split(rng)
+    active = (tracks.obj_idxes >= 0) & (tracks.iou > iou_thresh)
+    keep = jax.random.uniform(rng_drop, (n,)) > random_drop
+    kept_active = active & keep
+
+    # FP injection: num_fp ~ Binomial(kept, fp_ratio); take the top-num_fp
+    # scoring inactive slots.
+    fp_draw = jax.random.uniform(rng_fp, (n,)) < fp_ratio
+    num_fp = jnp.sum((kept_active & fp_draw).astype(jnp.int32))
+    inactive = tracks.obj_idxes < 0
+    scores = jnp.where(inactive, tracks.scores, -jnp.inf)
+    order = jnp.argsort(-scores)                     # best inactive first
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n))
+    fp_mask = inactive & (rank < num_fp)
+    return kept_active | fp_mask
+
+
 class QueryInteractionModule(nn.Module):
-    """MOTR QIM (`modules.py:115-260`): refresh active tracks' query
-    embeddings through self-attention + FFN over the output embeddings."""
+    """MOTR QIM (`modules.py:115-260`): refresh selected tracks' query
+    embeddings. Structure mirrors ``_update_track_embedding``: self-attn
+    with q = k = query_pos + output_embedding, value = output_embedding,
+    FFN, then a dedicated FFN updating the feature half of the query (and
+    optionally the position half, ``update_query_pos`` — True in the
+    reference train config, `track_uniad.py:984`)."""
     embed_dims: int = 256
+    update_query_pos: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -190,20 +229,34 @@ class QueryInteractionModule(nn.Module):
         c = self.embed_dims
         if update_mask is None:
             update_mask = tracks.obj_idxes >= 0
-        emb = tracks.output_embedding[None]                  # (1, N, C)
+        emb = tracks.output_embedding                        # (N, C)
+        query_pos = tracks.query[:, :c]
+        query_feat = tracks.query[:, c:]
         mask = update_mask[None]
 
+        qk = (query_pos + emb)[None]                         # (1, N, C)
         attn = nn.MultiHeadDotProductAttention(
             num_heads=8, dtype=self.dtype)(
-                emb, emb, mask=mask[:, None, None, :])
-        h = nn.LayerNorm(dtype=self.dtype)(emb + attn)
-        ff = nn.Dense(2 * c, dtype=self.dtype)(h)
-        ff = nn.relu(ff)
-        ff = nn.Dense(c, dtype=self.dtype)(ff)
-        h = nn.LayerNorm(dtype=self.dtype)(h + ff)[0]        # (N, C)
+                qk, qk, emb[None], mask=mask[:, None, None, :])
+        tgt = nn.LayerNorm(dtype=self.dtype)(emb[None] + attn)
+        ff = nn.Dense(2 * c, dtype=self.dtype)(tgt)
+        ff = nn.Dense(c, dtype=self.dtype)(nn.relu(ff))
+        tgt = nn.LayerNorm(dtype=self.dtype)(tgt + ff)[0]    # (N, C)
 
-        # Update the feature half of [query_pos | query_feat].
-        query = tracks.query
-        new_query = jnp.concatenate([query[:, :c], h], axis=-1)
-        query = jnp.where(update_mask[:, None], new_query, query)
-        return tracks.replace(query=query)
+        if self.update_query_pos:
+            pos2 = nn.Dense(2 * c, dtype=self.dtype, name="pos_ffn1")(tgt)
+            pos2 = nn.Dense(c, dtype=self.dtype,
+                            name="pos_ffn2")(nn.relu(pos2))
+            new_pos = nn.LayerNorm(dtype=self.dtype,
+                                   name="pos_norm")(query_pos + pos2)
+            query_pos = jnp.where(update_mask[:, None], new_pos, query_pos)
+
+        feat2 = nn.Dense(2 * c, dtype=self.dtype, name="feat_ffn1")(tgt)
+        feat2 = nn.Dense(c, dtype=self.dtype,
+                         name="feat_ffn2")(nn.relu(feat2))
+        new_feat = nn.LayerNorm(dtype=self.dtype,
+                                name="feat_norm")(query_feat + feat2)
+        query_feat = jnp.where(update_mask[:, None], new_feat, query_feat)
+
+        return tracks.replace(
+            query=jnp.concatenate([query_pos, query_feat], axis=-1))

@@ -29,6 +29,7 @@ from sndepth_tpu.models.track_head import BEVFormerTrackHead
 from sndepth_tpu.models.track_runtime import (MemoryBank,
                                               QueryInteractionModule,
                                               TrackInstances, empty_tracks,
+                                              qim_select_train,
                                               tracker_update,
                                               velocity_update_reference_points)
 
@@ -157,7 +158,9 @@ class UniADTrack(nn.Module):
         self.ref_points_linear = nn.Dense(3, name="reference_points")
         self.memory_bank = MemoryBank(self.embed_dims, self.mem_len,
                                       self.dtype)
-        self.qim = QueryInteractionModule(self.embed_dims, self.dtype)
+        self.qim = QueryInteractionModule(
+            embed_dims=self.embed_dims, update_query_pos=True,
+            dtype=self.dtype)
 
     def fresh_tracks(self) -> TrackInstances:
         """`_generate_empty_tracks` (`track_uniad.py:183`)."""
@@ -263,6 +266,161 @@ class UniADTrack(nn.Module):
             timestamp=jnp.asarray(timestamp, state.timestamp.dtype),
             has_prev=jnp.ones((), bool))
         return new_state, results
+
+    # ------------------------------------------------------------------
+    # Training path (`track_uniad.py:363-624` _forward_single_frame_train
+    # + forward_track_train), fixed-capacity masked formulation.
+    # ------------------------------------------------------------------
+
+    def _merge_with_fresh(self, tracks: TrackInstances,
+                          keep: Array) -> TrackInstances:
+        """QIM's ``Instances.cat([init_track_instances, active])``
+        (`modules.py:252-259`) in fixed-capacity form: slots not kept are
+        reset to the learned fresh query/ref with cleared state."""
+        fresh = self.fresh_tracks()
+        k1 = keep[:, None]
+        return tracks.replace(
+            query=jnp.where(k1, tracks.query, fresh.query),
+            ref_pts=jnp.where(k1, tracks.ref_pts, fresh.ref_pts),
+            output_embedding=jnp.where(k1, tracks.output_embedding,
+                                       fresh.output_embedding),
+            obj_idxes=jnp.where(keep, tracks.obj_idxes, fresh.obj_idxes),
+            scores=jnp.where(keep, tracks.scores, fresh.scores),
+            track_scores=jnp.where(keep, tracks.track_scores,
+                                   fresh.track_scores),
+            pred_logits=jnp.where(k1, tracks.pred_logits,
+                                  fresh.pred_logits),
+            pred_boxes=jnp.where(k1, tracks.pred_boxes, fresh.pred_boxes),
+            disappear_time=jnp.where(keep, tracks.disappear_time,
+                                     fresh.disappear_time),
+            mem_bank=jnp.where(keep[:, None, None], tracks.mem_bank,
+                               fresh.mem_bank),
+            mem_valid=jnp.where(k1, tracks.mem_valid, fresh.mem_valid),
+            iou=jnp.where(keep, tracks.iou, fresh.iou))
+
+    def train_frame(self, imgs: Array, lidar2img: Array,
+                    tracks: TrackInstances, prev_bev: Array,
+                    has_prev: Array, gt: dict, dt_next: Array,
+                    random_drop: float = 0.1, fp_ratio: float = 0.3):
+        """One training frame (`_forward_single_frame_train`,
+        `track_uniad.py:363-480`): detect with gradients, match every
+        decoder layer against GT (ClipMatcher), bind new tracks, update
+        the carry through memory bank + train-mode QIM.
+
+        gt: dict of fixed-size arrays — labels (ng,), boxes (ng, 10)
+        normalized, valid (ng,), instance_ids (ng,), past_traj
+        (ng, steps, 2), past_traj_mask (ng, steps, 2), and optional
+        sdc_label () / sdc_box (10,).
+
+        Divergence (documented): the reference recomputes the history BEV
+        from all previous frames without grad every frame — O(T^2) and
+        flagged by its own TODO (`track_uniad.py:544`); here the previous
+        frame's BEV is carried detached (the RNN way).
+
+        Returns (new_tracks, bev, losses dict, aux dict).
+        """
+        from sndepth_tpu.losses.track_loss import train_frame_layer_losses
+        from sndepth_tpu.ops.box_iou import iou_3d
+        from sndepth_tpu.utils.uniad import denormalize_bbox
+
+        nq = self.num_query
+        sdc_slot = nq - 1
+        prev = jax.lax.stop_gradient(
+            jnp.where(has_prev, 1.0, 0.0) * prev_bev)
+        bev = self.get_bevs(imgs, lidar2img, prev_bev=prev)
+
+        det = self.head.get_detections(bev, tracks.query[None],
+                                       tracks.ref_pts[None])
+        logits_l = det["all_cls_scores"][:, 0]        # (L, nq, C)
+        boxes_l = det["all_bbox_preds"][:, 0]         # (L, nq, 10)
+        trajs_l = det["all_past_traj_preds"][:, 0]    # (L, nq, S, 2)
+        out_emb = det["query_feats"][0]
+        new_ref = det["ref_pts"][0]
+
+        track_scores = jax.lax.stop_gradient(
+            jnp.max(jax.nn.sigmoid(logits_l[-1]), axis=-1))
+
+        losses, new_obj, assigned, matched = train_frame_layer_losses(
+            logits_l, boxes_l, trajs_l, tracks.obj_idxes, gt,
+            self.num_classes, sdc_slot=sdc_slot)
+
+        # Matched-pair 3D IoU for QIM's active-track selection
+        # (`track_loss.py:486-500`).
+        pred9 = denormalize_bbox(boxes_l[-1])
+        gt9 = denormalize_bbox(gt["boxes"])
+        safe_q = jnp.clip(assigned, 0, nq - 1)
+        pair_iou = jax.lax.stop_gradient(jnp.diagonal(
+            iou_3d(pred9[safe_q][:, :7], gt9[:, :7])))
+        iou = jnp.zeros((nq,)).at[safe_q].set(
+            jnp.where(matched, pair_iou, 0.0))
+
+        # Reference-point carry (`track_uniad.py:428-445`): fresh z from
+        # the learned linear, xy from the decoder refs propagated by the
+        # predicted velocity over dt_next.
+        velo = jax.lax.stop_gradient(boxes_l[-1][:, 8:10])
+        x0, y0, _, x1, y1, _ = self.pc_range
+        wx = new_ref[:, 0] * (x1 - x0) + x0 + velo[:, 0] * dt_next
+        wy = new_ref[:, 1] * (y1 - y0) + y0 + velo[:, 1] * dt_next
+        ref_xy = jnp.stack([(wx - x0) / (x1 - x0),
+                            (wy - y0) / (y1 - y0)], axis=-1)
+        fresh_ref = self.fresh_tracks().ref_pts
+        ref_pts = jax.lax.stop_gradient(
+            jnp.concatenate([ref_xy, fresh_ref[:, 2:3]], axis=-1))
+
+        tracks = tracks.replace(
+            query=jnp.concatenate(
+                [tracks.query[:, :self.embed_dims], out_emb], axis=-1),
+            ref_pts=ref_pts,
+            output_embedding=out_emb,
+            scores=track_scores, track_scores=track_scores,
+            pred_logits=logits_l[-1], pred_boxes=boxes_l[-1],
+            obj_idxes=new_obj, iou=iou)
+
+        tracks = self.memory_bank(tracks)
+        keep = qim_select_train(tracks, self.make_rng("qim"),
+                                random_drop=random_drop, fp_ratio=fp_ratio)
+        tracks = self.qim(tracks, update_mask=keep)
+        tracks = self._merge_with_fresh(tracks, keep)
+
+        aux = {"num_matched": jnp.sum(matched.astype(jnp.int32)),
+               "num_kept": jnp.sum(keep.astype(jnp.int32))}
+        return tracks, bev, losses, aux
+
+    def train_clip(self, imgs_seq: Array, lidar2img: Array, gt_clip: dict,
+                   timestamps: Array):
+        """Clip-level training forward (`forward_track_train`,
+        `track_uniad.py:499-586`): python loop over T frames (T static),
+        track carry threaded through, losses summed over frames and
+        decoder layers. gt_clip holds per-frame leading-T arrays.
+
+        Returns (total_loss, aux dict with per-term losses).
+        """
+        t_frames = imgs_seq.shape[0]
+        tracks = self.fresh_tracks()
+        prev_bev = jnp.zeros((1, self.bev_h * self.bev_w, self.embed_dims))
+        has_prev = jnp.zeros((), bool)
+
+        total = {"loss_cls": 0.0, "loss_bbox": 0.0, "loss_past_trajs": 0.0}
+        num_matched = 0
+        for t in range(t_frames):
+            gt_t = {k: v[t] for k, v in gt_clip.items()}
+            dt_next = (timestamps[t + 1] - timestamps[t]
+                       if t + 1 < t_frames else jnp.zeros(()))
+            tracks, prev_bev, losses, aux = self.train_frame(
+                imgs_seq[t], lidar2img, tracks, prev_bev, has_prev, gt_t,
+                dt_next)
+            has_prev = jnp.ones((), bool)
+            for k in total:
+                total[k] = total[k] + losses[k]
+            num_matched = num_matched + aux["num_matched"]
+
+        for k in total:
+            total[k] = total[k] / t_frames
+        loss = total["loss_cls"] + total["loss_bbox"] + \
+            total["loss_past_trajs"]
+        total["loss_total"] = loss
+        total["num_matched"] = num_matched
+        return loss, total
 
     def simple_test_track(self, imgs_seq: Array, lidar2img: Array,
                           timestamps: Array | None = None):

@@ -49,9 +49,9 @@ class GeoNetStage:
             batch = geonet_lib.preprocess_batch(batch)
             disparities, depths, poses = geonet_lib.geonet_forward(
                 params, batch, config)
-            b = batch["tgt"].shape[0]
-            return {"disp": disparities[0][:b, ..., 0],
-                    "depth": depths[0][:b],
+            # View axis is inner: (B, V, h, w[, 1]); index 0 = target.
+            return {"disp": disparities[0][:, 0, ..., 0],
+                    "depth": depths[0][:, 0],
                     "poses": poses,
                     "tgt_norm": batch["tgt"],
                     "src_norm": batch["src"]}
