@@ -110,14 +110,71 @@ def write_pfm(filename: str, image: np.ndarray, scale: float = 1.0) -> None:
         image.tofile(f)
 
 
+# --- DPT depth (Sintel, `frame_utils.py:112-124`) ---
+
+TAG_FLOAT = 202021.25
+
+
+def read_dpt(filename: str) -> np.ndarray:
+    """Sintel ``.dpt`` depth: float32 tag + int32 (w, h) + float32 map."""
+    with open(filename, "rb") as f:
+        check = np.fromfile(f, np.float32, 1)[0]
+        if check != np.float32(TAG_FLOAT):
+            raise ValueError(
+                f"wrong .dpt tag in {filename}: {check} (big-endian file?)")
+        w = int(np.fromfile(f, np.int32, 1)[0])
+        h = int(np.fromfile(f, np.int32, 1)[0])
+        if not (w > 0 and h > 0 and 1 < w * h < 100000000):
+            raise ValueError(f"bad .dpt dims {w}x{h} in {filename}")
+        return np.fromfile(f, np.float32, -1).reshape(h, w)
+
+
+def write_dpt(filename: str, depth: np.ndarray) -> None:
+    h, w = depth.shape
+    with open(filename, "wb") as f:
+        np.float32(TAG_FLOAT).tofile(f)
+        np.array([w, h], np.int32).tofile(f)
+        depth.astype(np.float32).tofile(f)
+
+
+# --- Sintel camera (`frame_utils.py:126-147`) ---
+
+def read_cam(filename: str) -> tuple[np.ndarray, np.ndarray]:
+    """Sintel ``.cam``: returns (pvec, kvec) exactly like the reference's
+    ``cam_read`` — pvec = [t(3), quat(4)] of the extrinsic, kvec =
+    [fx, fy, cx, cy]."""
+    from scipy.spatial.transform import Rotation
+    with open(filename, "rb") as f:
+        np.fromfile(f, np.float32, 1)           # tag (unchecked upstream)
+        M = np.fromfile(f, np.float64, 9).reshape(3, 3)
+        N = np.fromfile(f, np.float64, 12).reshape(3, 4)
+    kvec = np.array([M[0, 0], M[1, 1], M[0, 2], M[1, 2]])
+    q = Rotation.from_matrix(N[:3, :3]).as_quat()
+    pvec = np.concatenate([N[:3, 3], q], 0)
+    return pvec, kvec
+
+
+def write_cam(filename: str, M: np.ndarray, N: np.ndarray) -> None:
+    with open(filename, "wb") as f:
+        np.float32(TAG_FLOAT).tofile(f)
+        M.astype(np.float64).tofile(f)
+        N.astype(np.float64).tofile(f)
+
+
 def read_gen(filename: str):
     """Extension-dispatching reader (`frame_utils.py:149-162`)."""
     ext = os.path.splitext(filename)[-1].lower()
     if ext in (".png", ".jpeg", ".jpg", ".ppm"):
         from PIL import Image
         return np.asarray(Image.open(filename))
+    if ext in (".bin", ".raw"):
+        return np.load(filename)
     if ext == ".flo":
         return read_flo(filename)
     if ext == ".pfm":
         return read_pfm(filename)
+    if ext == ".dpt":
+        return read_dpt(filename)
+    if ext == ".cam":
+        return read_cam(filename)
     raise ValueError(f"unsupported extension: {ext}")

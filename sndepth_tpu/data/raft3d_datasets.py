@@ -155,3 +155,79 @@ class SceneFlowDataset:
                 "depth2": depth2, "flow": flow3,
                 "valid": np.ones(depth1.shape, np.float32),
                 "intrinsics": intrinsics}
+
+
+class FlyingThingsTest:
+    """FlyingThings3D evaluation split (`sceneflow.py:363-430`): the
+    official test-sample pickle lists (data_paths, sampled_pix1_x,
+    sampled_pix2_y, mask) tuples; each item yields the image/disp pair,
+    the 2D flow, the 3D flow backprojected through the disparity change,
+    and the sampled evaluation pixel indices (y flipped as 539 - y,
+    matching the reference)."""
+
+    INTRINSICS = np.array([1050.0, 1050.0, 480.0, 270.0], np.float32)
+
+    def __init__(self, root: str = "datasets/FlyingThings3D",
+                 pickle_path: str | None = None):
+        import pickle
+        if pickle_path is None:
+            pickle_path = osp.join(osp.dirname(root),
+                                   "things_test_data.pickle")
+        with open(pickle_path, "rb") as f:
+            test_data = pickle.load(f)
+
+        self.dataset_index = []
+        for (data_paths, pix1_x, pix2_y, mask) in test_data:
+            split, subset, sequence, camera, frame = data_paths.split("_")
+            pix1_x = pix1_x[mask]
+            pix2_y = 539 - pix2_y[mask]
+            sampled_index = np.stack([pix2_y, pix1_x], axis=0)
+            frame = int(frame)
+
+            def p(kind, cam, name):
+                return osp.join(root, kind, split, subset, sequence,
+                                *( [cam] if cam else [] ), name)
+
+            suffix = "L" if camera == "left" else "R"
+            datum = (
+                p("frames_cleanpass", camera, "%04d.png" % frame),
+                p("frames_cleanpass", camera, "%04d.png" % (frame + 1)),
+                p("disparity", camera, "%04d.pfm" % frame),
+                p("disparity", camera, "%04d.pfm" % (frame + 1)),
+                osp.join(root, "optical_flow", split, subset, sequence,
+                         "into_future", camera,
+                         f"OpticalFlowIntoFuture_%04d_{suffix}.pfm" % frame),
+                osp.join(root, "disparity_change", split, subset, sequence,
+                         "into_future", camera, "%04d.pfm" % frame),
+                sampled_index,
+            )
+            self.dataset_index.append(datum)
+
+    def __len__(self) -> int:
+        return len(self.dataset_index)
+
+    def __getitem__(self, index: int) -> dict:
+        (i1, i2, d1p, d2p, flp, dcp, sampled_index) = \
+            self.dataset_index[index]
+        image1 = _imread(i1)
+        image2 = _imread(i2)
+        disp1 = np.asarray(read_pfm(d1p), np.float32)
+        disp2 = np.asarray(read_pfm(d2p), np.float32)
+        flow2d = np.asarray(read_pfm(flp), np.float32)[..., :2]
+        disparity_change = np.asarray(read_pfm(dcp), np.float32)
+
+        fx = self.INTRINSICS[0]
+        depth1 = fx / disp1
+        depth2 = fx / disp2
+        depth12 = fx / (disp1 + disparity_change)
+
+        import jax.numpy as jnp
+        from sndepth_tpu.ops.projective import backproject_flow3d
+        flow3d = np.asarray(backproject_flow3d(
+            jnp.asarray(flow2d), jnp.asarray(depth1),
+            jnp.asarray(depth12), jnp.asarray(self.INTRINSICS)))
+
+        return {"image1": image1, "image2": image2, "depth1": depth1,
+                "depth2": depth2, "flow2d": flow2d, "flow3d": flow3d,
+                "intrinsics": self.INTRINSICS.copy(),
+                "sampled_index": sampled_index}

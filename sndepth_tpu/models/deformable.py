@@ -68,6 +68,71 @@ def ms_deformable_attention(value: Array, spatial_shapes: Sequence[tuple],
     return out.transpose(0, 2, 1, 3).reshape(b, nq, heads * dim)
 
 
+class DeformConv2d(nn.Module):
+    """Modulated deformable convolution (DCNv2) — the backbone op the
+    reference configures for ResNet stages 3-4
+    (`track_uniad.py:962-966`: ``dcn=dict(type='DCNv2', ...)``,
+    ``stage_with_dcn=(False, False, True, True)``) via the mmcv CUDA
+    extension.
+
+    TPU-native: a regular conv predicts per-tap (dy, dx) offsets and a
+    sigmoid modulation mask (27 = 9*2 + 9 channels, zero-initialized so
+    the op starts as a plain conv); the input is bilinearly gathered at
+    the 9 deformed tap positions (reshaped reuse of the same sampler as
+    ms-deformable attention) and contracted with the (K, Cin, Cout)
+    kernel on the MXU. Autodiff supplies the CUDA backward.
+    """
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, cin = x.shape
+        k = self.kernel
+        kk = k * k
+        s = self.stride
+        ho, wo = (h + s - 1) // s, (w + s - 1) // s
+
+        om = nn.Conv(3 * kk, (k, k), strides=(s, s), padding="SAME",
+                     kernel_init=nn.initializers.zeros,
+                     bias_init=nn.initializers.zeros,
+                     dtype=jnp.float32, name="conv_offset")(
+            x.astype(jnp.float32))
+        off = om[..., :2 * kk].reshape(b, ho, wo, kk, 2)   # (dy, dx)
+        mask = jax.nn.sigmoid(om[..., 2 * kk:])            # (b,ho,wo,kk)
+
+        # Base tap grid around each output pixel's input-space center.
+        r = (k - 1) // 2
+        d = jnp.arange(-r, r + 1, dtype=jnp.float32)
+        gy, gx = jnp.meshgrid(d, d, indexing="ij")
+        grid = jnp.stack([gy.ravel(), gx.ravel()], -1)     # (kk, 2)
+        cy = jnp.arange(ho, dtype=jnp.float32)[:, None] * s
+        cx = jnp.arange(wo, dtype=jnp.float32)[None, :] * s
+        base = jnp.stack([jnp.broadcast_to(cy, (ho, wo)),
+                          jnp.broadcast_to(cx, (ho, wo))], -1)
+        pos = base[None, :, :, None, :] + grid + off       # b,ho,wo,kk,2
+        coords = jnp.stack([pos[..., 1], pos[..., 0]], -1)  # (x, y)
+
+        sampled = bilinear_sampler_zero_pad(
+            x.astype(jnp.float32), coords.reshape(b, ho * wo, kk, 2))
+        sampled = sampled.reshape(b, ho, wo, kk, cin)
+        sampled = sampled * mask[..., None]
+
+        kernel = self.param(
+            "kernel", nn.initializers.variance_scaling(
+                2.0, "fan_out", "truncated_normal"),
+            (kk, cin, self.features), jnp.float32)
+        out = jnp.einsum("bhwkc,kcf->bhwf", sampled, kernel,
+                         preferred_element_type=jnp.float32)
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros,
+                                   (self.features,), jnp.float32)
+        return out.astype(self.dtype)
+
+
 class MSDeformableAttention3D(nn.Module):
     """Offsets/weights predicted from the query; sampling points are spread
     around each of the D pillar reference points (num_points must be a

@@ -74,14 +74,17 @@ class _ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         def norm():
+            # instance norm; eps matches torch InstanceNorm2d (1e-5)
             return nn.GroupNorm(num_groups=None, group_size=1,
                                 use_bias=False, use_scale=False,
-                                dtype=self.dtype)  # instance norm
+                                epsilon=1e-5, dtype=self.dtype)
 
+        # explicit torch-style padding: flax SAME pads stride-2 convs
+        # asymmetrically, breaking checkpoint parity (CLAUDE.md rule)
         h = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
-                    padding="SAME", dtype=self.dtype)(x)
+                    padding=((1, 1), (1, 1)), dtype=self.dtype)(x)
         h = nn.relu(norm()(h))
-        h = nn.Conv(self.features, (3, 3), padding="SAME",
+        h = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype)(h)
         h = nn.relu(norm()(h))
         if self.stride != 1 or x.shape[-1] != self.features:
@@ -99,10 +102,11 @@ class BasicEncoder(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         x = x.astype(self.dtype)
-        h = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME",
+        h = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     dtype=self.dtype)(x)
         h = nn.GroupNorm(num_groups=None, group_size=1, use_bias=False,
-                         use_scale=False, dtype=self.dtype)(h)
+                         use_scale=False, epsilon=1e-5,
+                         dtype=self.dtype)(h)
         h = nn.relu(h)
         for features, stride in ((64, 1), (96, 2), (128, 2)):
             h = _ResBlock(features, stride, self.dtype)(h)
@@ -129,7 +133,8 @@ class _Bottleneck(nn.Module):
                     dtype=self.dtype)(x)
         h = nn.relu(bn()(h))
         h = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
-                    padding="SAME", use_bias=False, dtype=self.dtype)(h)
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype)(h)
         h = nn.relu(bn()(h))
         h = nn.Conv(4 * self.features, (1, 1), use_bias=False,
                     dtype=self.dtype)(h)
@@ -150,11 +155,12 @@ class FPNContext(nn.Module):
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         x = x.astype(self.dtype)
-        h = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME",
+        h = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, dtype=self.dtype)(x)
         h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
         h = nn.relu(h)
-        h = nn.max_pool(h, (3, 3), strides=(2, 2), padding="SAME")
+        h = nn.max_pool(h, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)))
 
         for _ in range(3):
             h = _Bottleneck(64, 1, self.dtype)(h, train)

@@ -65,6 +65,7 @@ class _Bottleneck(nn.Module):
     features: int
     stride: int
     dtype: Any
+    use_dcn: bool = False   # DCNv2 on the 3x3 (`track_uniad.py:962-966`)
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -74,8 +75,13 @@ class _Bottleneck(nn.Module):
         h = nn.Conv(self.features, (1, 1), use_bias=False,
                     dtype=self.dtype)(x)
         h = nn.relu(gn(h))
-        h = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
-                    padding="SAME", use_bias=False, dtype=self.dtype)(h)
+        if self.use_dcn:
+            from sndepth_tpu.models.deformable import DeformConv2d
+            h = DeformConv2d(self.features, kernel=3, stride=self.stride,
+                             dtype=self.dtype)(h)
+        else:
+            h = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
+                        padding="SAME", use_bias=False, dtype=self.dtype)(h)
         h = nn.relu(gn(h))
         h = nn.Conv(4 * self.features, (1, 1), use_bias=False,
                     dtype=self.dtype)(h)
@@ -93,6 +99,8 @@ class ResNetFPN(nn.Module):
     channels at 1/8, 1/16, 1/32, 1/64 (`track_uniad.py:953-980` config)."""
     stage_blocks: Sequence[int] = (3, 4, 23, 3)
     embed_dims: int = 256
+    # DCNv2 stages, reference `stage_with_dcn=(False, False, True, True)`
+    stage_with_dcn: Sequence[bool] = (False, False, True, True)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -107,7 +115,8 @@ class ResNetFPN(nn.Module):
                 zip(self.stage_blocks, (64, 128, 256, 512))):
             for bi in range(blocks):
                 stride = 2 if (bi == 0 and si > 0) else 1
-                h = _Bottleneck(width, stride, self.dtype)(h)
+                h = _Bottleneck(width, stride, self.dtype,
+                                use_dcn=self.stage_with_dcn[si])(h)
             feats.append(h)
         c2, c3, c4, c5 = feats   # 1/4 .. 1/32
 

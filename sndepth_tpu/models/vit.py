@@ -34,7 +34,8 @@ class _Block(nn.Module):
         x = x + y
         y = nn.LayerNorm(dtype=self.dtype)(x)
         y = nn.Dense(4 * self.dim, dtype=self.dtype)(y)
-        y = nn.gelu(y)
+        # exact erf GELU: DINO/timm use torch.nn.GELU (erf), not tanh
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype)(y)
         return x + y
 

@@ -10,15 +10,24 @@ pooling per level — and its finite-difference gradients
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 Array = jax.Array
 
 
 def downsample2x(img: Array) -> Array:
-    """2x2 mean-pool an NHWC image (H, W must be even)."""
-    b, h, w, c = img.shape
-    img = img.reshape(b, h // 2, 2, w // 2, 2, c)
-    return img.mean(axis=(2, 4))
+    """2x2 mean-pool an NHWC image (H, W must be even).
+
+    Implemented as ``lax.reduce_window`` rather than a
+    reshape(h/2,2,w/2,2)+mean: the window reshape forces XLA to relayout
+    the (large) input tensor — profiled at ~30 ms/step of pure copies in
+    the GeoNet train step — while reduce_window lowers natively on NHWC.
+    """
+    summed = jax.lax.reduce_window(
+        img, jnp.zeros((), img.dtype), jax.lax.add,
+        window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 2, 1),
+        padding="VALID")
+    return summed * jnp.asarray(0.25, img.dtype)
 
 
 def scale_pyramid(img: Array, num_scales: int) -> list[Array]:

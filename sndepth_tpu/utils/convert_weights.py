@@ -222,6 +222,384 @@ def convert_normal_decoder(sd: dict, architecture: str = "GN") -> dict:
     return out
 
 
+# ---------------------------------------------------------------------------
+# RAFT3D (`.pth`, `/root/reference/kitti_submission.py:196-197`)
+# ---------------------------------------------------------------------------
+
+def _convP(sd: dict, prefix: str) -> dict:
+    """Conv2d with bias -> flax Conv params."""
+    out = {"kernel": _conv_w(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return out
+
+
+def _convert_basic_encoder(sd: dict, prefix: str = "fnet") -> dict:
+    """RAFT BasicEncoder(norm='instance') (`blocks/extractor.py:119-200`):
+    InstanceNorm2d(affine=False) carries no weights, so only convs map.
+    Residual blocks: layer{1,2,3}.{0,1} -> _ResBlock_{0..5} in order;
+    stride-2 blocks have a downsample Sequential(conv1x1, norm)."""
+    p: dict = {"Conv_0": _convP(sd, f"{prefix}.conv1"),
+               "Conv_1": _convP(sd, f"{prefix}.conv2")}
+    bi = 0
+    for layer in (1, 2, 3):
+        for i in (0, 1):
+            t = f"{prefix}.layer{layer}.{i}"
+            blk = {"Conv_0": _convP(sd, f"{t}.conv1"),
+                   "Conv_1": _convP(sd, f"{t}.conv2")}
+            if f"{t}.downsample.0.weight" in sd:
+                blk["Conv_2"] = _convP(sd, f"{t}.downsample.0")
+            p[f"_ResBlock_{bi}"] = blk
+            bi += 1
+    return p
+
+
+def _convert_fpn_context(sd: dict, prefix: str = "cnet"
+                         ) -> tuple[dict, dict]:
+    """torchvision ResNet-50 trunk + FPN tail (`blocks/resnet.py:15-53`)
+    -> (params, batch_stats) for FPNContext. The unused reference
+    ``norm1``/``norm2`` BNs and the classifier ``fc`` are skipped."""
+    p: dict = {"Conv_0": {"kernel": _conv_w(sd[f"{prefix}.conv1.weight"])}}
+    s: dict = {}
+    p["BatchNorm_0"], s["BatchNorm_0"] = _bn(sd, f"{prefix}.bn1")
+    bi = 0
+    for layer, blocks in ((1, 3), (2, 4), (3, 6), (4, 3)):
+        for i in range(blocks):
+            t = f"{prefix}.layer{layer}.{i}"
+            bp: dict = {}
+            bs: dict = {}
+            for ci in range(3):
+                bp[f"Conv_{ci}"] = {
+                    "kernel": _conv_w(sd[f"{t}.conv{ci + 1}.weight"])}
+                bp[f"BatchNorm_{ci}"], bs[f"BatchNorm_{ci}"] = _bn(
+                    sd, f"{t}.bn{ci + 1}")
+            if f"{t}.downsample.0.weight" in sd:
+                bp["Conv_3"] = {
+                    "kernel": _conv_w(sd[f"{t}.downsample.0.weight"])}
+                bp["BatchNorm_3"], bs["BatchNorm_3"] = _bn(
+                    sd, f"{t}.downsample.1")
+            p[f"_Bottleneck_{bi}"] = bp
+            s[f"_Bottleneck_{bi}"] = bs
+            bi += 1
+    p["Conv_1"] = _convP(sd, f"{prefix}.uconv1")
+    p["Conv_2"] = _convP(sd, f"{prefix}.uconv2")
+    p["Conv_3"] = _convP(sd, f"{prefix}.uconv3")
+    return p, s
+
+
+def _convert_update_block(sd: dict, prefix: str = "update_block") -> dict:
+    """BasicUpdateBlock (`raft3d.py:40-98`): corr/flow encoders, dual-
+    dilation ConvGRU, ae/mask/delta/weight heads."""
+    p: dict = {
+        "Conv_0": _convP(sd, f"{prefix}.corr_enc.0"),
+        "Conv_1": _convP(sd, f"{prefix}.corr_enc.2"),
+        "Conv_2": _convP(sd, f"{prefix}.corr_enc.4"),
+        "Conv_3": _convP(sd, f"{prefix}.flow_enc.0"),
+        "Conv_4": _convP(sd, f"{prefix}.flow_enc.2"),
+        "ConvGRU_0": {
+            f"conv{g}_{i}": _convP(sd, f"{prefix}.gru.conv{g}{i}")
+            for g in ("z", "r", "q") for i in (1, 2)},
+    }
+    for head in ("ae", "mask", "delta", "weight"):
+        p[f"{head}_0"] = _convP(sd, f"{prefix}.{head}.0")
+        p[f"{head}_1"] = _convP(sd, f"{prefix}.{head}.2")
+    return p
+
+
+def convert_raft3d(sd: dict) -> dict:
+    """Reference RAFT3D state_dict (``module.`` prefixes from the
+    DataParallel save at `kitti_submission.py:196-197` are stripped) ->
+    {"params": ..., "batch_stats": ...} for
+    :class:`sndepth_tpu.models.raft3d.RAFT3D`."""
+    sd = _strip_module(sd)
+    cnet_p, cnet_s = _convert_fpn_context(sd)
+    params = {
+        "BasicEncoder_0": _convert_basic_encoder(sd),
+        "FPNContext_0": cnet_p,
+        "Scan_RAFTIteration_0": {
+            "BasicUpdateBlock_0": _convert_update_block(sd)},
+    }
+    return {"params": params, "batch_stats": {"FPNContext_0": cnet_s}}
+
+
+def convert_raft3d_checkpoint(path: str) -> dict:
+    import torch
+    ckpt = torch.load(path, map_location="cpu")
+    sd = ckpt.get("model", ckpt.get("state_dict", ckpt))
+    return convert_raft3d(sd)
+
+
+# ---------------------------------------------------------------------------
+# MotionFusionNet (`best.pt`, `/root/reference/predict.py:19-22`)
+# ---------------------------------------------------------------------------
+
+def _cbn(sd: dict, conv_key: str, bn_key: str, p: dict, s: dict, idx: int,
+         transpose: bool = False) -> None:
+    w = np.asarray(sd[f"{conv_key}.weight"])
+    if transpose:
+        # torch ConvTranspose2d (in, out, kh, kw) -> flax (kh, kw, in, out)
+        # with spatially flipped taps (verified exact for k=s=16).
+        k = w.transpose(2, 3, 0, 1)[::-1, ::-1].copy()
+    else:
+        k = w.transpose(2, 3, 1, 0)
+    name = ("ConvTranspose" if transpose else "Conv") + f"_{idx}"
+    p[name] = {"kernel": k}
+    if f"{conv_key}.bias" in sd:
+        p[name]["bias"] = np.asarray(sd[f"{conv_key}.bias"])
+    p[f"BatchNorm_{idx}"], s[f"BatchNorm_{idx}"] = _bn(sd, bn_key)
+
+
+def _convert_residual_unit(sd: dict, t: str, spec) -> tuple[dict, dict]:
+    """One reference ResNet1-4 unit (`build_unit.py`) -> ResidualUnit
+    params. Layout per unit type:
+    ResNet1/2: layer_1.{0,3,6} convs (+ layer_2.{0} projection);
+    ResNet3/4: initial_conv/branch1/branch2/final_conv (+ down_conv)."""
+    p: dict = {}
+    s: dict = {}
+    if spec.branch_dilations is None:
+        for i, seq in enumerate((0, 3, 6)):
+            _cbn(sd, f"{t}.layer_1.{seq}", f"{t}.layer_1.{seq + 1}", p, s, i)
+        if spec.project:
+            _cbn(sd, f"{t}.layer_2.0", f"{t}.layer_2.1", p, s, 3)
+    else:
+        _cbn(sd, f"{t}.initial_conv.0", f"{t}.initial_conv.1", p, s, 0)
+        _cbn(sd, f"{t}.branch1.0", f"{t}.branch1.1", p, s, 1)
+        _cbn(sd, f"{t}.branch2.0", f"{t}.branch2.1", p, s, 2)
+        _cbn(sd, f"{t}.final_conv.0", f"{t}.final_conv.1", p, s, 3)
+        if spec.project:
+            _cbn(sd, f"{t}.down_conv.0", f"{t}.down_conv.1", p, s, 4)
+    return p, s
+
+
+def convert_motionfusion(sd: dict) -> dict:
+    """Reference MotionFusionNet state_dict (`models/MotionFusionNet.py` +
+    `MotionFeatureNet.py` + `SemanticFeatureNet.py`) -> variables for
+    :class:`sndepth_tpu.models.motionseg.MotionFusionNet`."""
+    from sndepth_tpu.models.motionseg import (FUSION_UNITS, MOTION_UNITS,
+                                              SEMANTIC_UNITS)
+    sd = _strip_module(sd)
+    params: dict = {}
+    stats: dict = {}
+
+    mp: dict = {}
+    ms: dict = {}
+    _cbn(sd, "motionFeatureNet.layer1.0", "motionFeatureNet.layer1.1",
+         mp, ms, 0)
+    for i, spec in enumerate(MOTION_UNITS):
+        up, us = _convert_residual_unit(
+            sd, f"motionFeatureNet.layer3.{i}", spec)
+        mp[f"ResidualUnit_{i}"] = up
+        ms[f"ResidualUnit_{i}"] = us
+    params["MotionFeatureNet_0"] = mp
+    stats["MotionFeatureNet_0"] = ms
+
+    sp: dict = {}
+    ss: dict = {}
+    _cbn(sd, "semanticFeatureNet.layer1.0", "semanticFeatureNet.layer1.1",
+         sp, ss, 0)
+    _cbn(sd, "semanticFeatureNet.layer1.3", "semanticFeatureNet.layer1.4",
+         sp, ss, 1)
+    for i, spec in enumerate(SEMANTIC_UNITS):
+        up, us = _convert_residual_unit(
+            sd, f"semanticFeatureNet.layer3.{i}", spec)
+        sp[f"ResidualUnit_{i}"] = up
+        ss[f"ResidualUnit_{i}"] = us
+    params["SemanticFeatureNet_0"] = sp
+    stats["SemanticFeatureNet_0"] = ss
+
+    for i, spec in enumerate(FUSION_UNITS):
+        up, us = _convert_residual_unit(sd, f"layer1.{i}", spec)
+        params[f"ResidualUnit_{i}"] = up
+        stats[f"ResidualUnit_{i}"] = us
+    _cbn(sd, "layer2.0", "layer2.1", params, stats, 0)
+    # layer3: ConvTranspose (no index clash: flax names it ConvTranspose_0)
+    # followed by the output BatchNorm_1.
+    p3: dict = {}
+    s3: dict = {}
+    _cbn(sd, "layer3.0", "layer3.1", p3, s3, 0, transpose=True)
+    params["ConvTranspose_0"] = p3["ConvTranspose_0"]
+    params["BatchNorm_1"], stats["BatchNorm_1"] = (
+        p3["BatchNorm_0"], s3["BatchNorm_0"])
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_motionfusion_checkpoint(path: str) -> dict:
+    """Load the reference ``best.pt`` (a pickled module or a state_dict,
+    `predict.py:19-22`) and convert."""
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
+    return convert_motionfusion(sd)
+
+
+# ---------------------------------------------------------------------------
+# DINO ViT-S/16 (`/root/reference/models/image_f_extract.py:39-43`)
+# ---------------------------------------------------------------------------
+
+def _attn_from_qkv(sd: dict, prefix: str, heads: int) -> dict:
+    """torch fused qkv (3*dim, dim) -> flax MultiHeadDotProductAttention
+    {query,key,value,out} with kernels (in, heads, head_dim) /
+    (heads, head_dim, out)."""
+    w = np.asarray(sd[f"{prefix}.qkv.weight"])          # (3*dim, dim)
+    b = np.asarray(sd[f"{prefix}.qkv.bias"])
+    dim = w.shape[1]
+    hd = dim // heads
+    out: dict = {}
+    for i, name in enumerate(("query", "key", "value")):
+        wi = w[i * dim:(i + 1) * dim]                   # (dim, dim)
+        out[name] = {"kernel": wi.T.reshape(dim, heads, hd),
+                     "bias": b[i * dim:(i + 1) * dim].reshape(heads, hd)}
+    pw = np.asarray(sd[f"{prefix}.proj.weight"])        # (dim, dim)
+    out["out"] = {"kernel": pw.T.reshape(heads, hd, dim),
+                  "bias": np.asarray(sd[f"{prefix}.proj.bias"])}
+    return out
+
+
+def _ln(sd: dict, prefix: str) -> dict:
+    return {"scale": np.asarray(sd[f"{prefix}.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+
+def convert_dino_vit(sd: dict, depth: int = 12, heads: int = 6) -> dict:
+    """DINO/timm ViT-S/16 state_dict (keys ``cls_token``, ``pos_embed``,
+    ``patch_embed.proj.*``, ``blocks.{i}.{norm1,attn,norm2,mlp}``,
+    ``norm.*``) -> params for :class:`sndepth_tpu.models.vit.ViT`."""
+    sd = _strip_module(sd)
+    params: dict = {
+        "cls": np.asarray(sd["cls_token"]),
+        "pos_embed": np.asarray(sd["pos_embed"]),
+        "Conv_0": {"kernel": _conv_w(sd["patch_embed.proj.weight"]),
+                   "bias": np.asarray(sd["patch_embed.proj.bias"])},
+        "LayerNorm_0": _ln(sd, "norm"),
+    }
+    for i in range(depth):
+        t = f"blocks.{i}"
+        params[f"_Block_{i}"] = {
+            "LayerNorm_0": _ln(sd, f"{t}.norm1"),
+            "MultiHeadDotProductAttention_0": _attn_from_qkv(
+                sd, f"{t}.attn", heads),
+            "LayerNorm_1": _ln(sd, f"{t}.norm2"),
+            "Dense_0": {"kernel": np.asarray(sd[f"{t}.mlp.fc1.weight"]).T,
+                        "bias": np.asarray(sd[f"{t}.mlp.fc1.bias"])},
+            "Dense_1": {"kernel": np.asarray(sd[f"{t}.mlp.fc2.weight"]).T,
+                        "bias": np.asarray(sd[f"{t}.mlp.fc2.bias"])},
+        }
+    return params
+
+
+def convert_dino_checkpoint(path: str) -> dict:
+    """dino_deitsmall16 checkpoint -> {"net": <ViT params>} for
+    :class:`MultiScaleImageFeatureExtractor` (its ViT submodule is named
+    ``net``)."""
+    import torch
+    ckpt = torch.load(path, map_location="cpu")
+    sd = ckpt.get("model", ckpt.get("teacher", ckpt))
+    sd = {k[len("backbone."):] if k.startswith("backbone.") else k: v
+          for k, v in sd.items()}
+    return {"net": convert_dino_vit(sd)}
+
+
+# ---------------------------------------------------------------------------
+# AutoencoderKL (`/root/reference/models/AutoencoderKL.py:55-87`)
+# ---------------------------------------------------------------------------
+
+def _gn_(sd: dict, prefix: str) -> dict:
+    return {"scale": np.asarray(sd[f"{prefix}.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+
+def _conv_(sd: dict, prefix: str) -> dict:
+    return {"kernel": _conv_w(sd[f"{prefix}.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+
+def _resnet_block(sd: dict, t: str, has_shortcut: bool) -> dict:
+    p = {"GroupNorm_0": _gn_(sd, f"{t}.norm1"),
+         "Conv_0": _conv_(sd, f"{t}.conv1"),
+         "GroupNorm_1": _gn_(sd, f"{t}.norm2"),
+         "Conv_1": _conv_(sd, f"{t}.conv2")}
+    if has_shortcut:
+        p["Conv_2"] = _conv_(sd, f"{t}.nin_shortcut")
+    return p
+
+
+def _attn_block(sd: dict, t: str) -> dict:
+    return {"GroupNorm_0": _gn_(sd, f"{t}.norm"),
+            "Conv_0": _conv_(sd, f"{t}.q"),
+            "Conv_1": _conv_(sd, f"{t}.k"),
+            "Conv_2": _conv_(sd, f"{t}.v"),
+            "Conv_3": _conv_(sd, f"{t}.proj_out")}
+
+
+def convert_vae(sd: dict, config=None) -> dict:
+    """LDM AutoencoderKL state_dict (keys ``encoder.*`` / ``decoder.*`` /
+    ``quant_conv`` / ``post_quant_conv``; `submodules/vae/vae_model.py`) ->
+    params for :class:`sndepth_tpu.models.vae.AutoencoderKL`."""
+    from sndepth_tpu.models.vae import VAEConfig
+    cfg = config or VAEConfig()
+    sd = _strip_module(sd)
+    nlv = len(cfg.ch_mult)
+
+    enc: dict = {"Conv_0": _conv_(sd, "encoder.conv_in")}
+    rb = 0
+    dc = 1
+    ch = cfg.base_ch
+    for i, mult in enumerate(cfg.ch_mult):
+        out_ch = cfg.base_ch * mult
+        for j in range(cfg.num_res_blocks):
+            enc[f"ResnetBlock_{rb}"] = _resnet_block(
+                sd, f"encoder.down.{i}.block.{j}", ch != out_ch)
+            ch = out_ch
+            rb += 1
+        if i != nlv - 1:
+            enc[f"Conv_{dc}"] = _conv_(
+                sd, f"encoder.down.{i}.downsample.conv")
+            dc += 1
+    enc[f"ResnetBlock_{rb}"] = _resnet_block(sd, "encoder.mid.block_1",
+                                             False)
+    enc["AttnBlock_0"] = _attn_block(sd, "encoder.mid.attn_1")
+    enc[f"ResnetBlock_{rb + 1}"] = _resnet_block(sd, "encoder.mid.block_2",
+                                                 False)
+    enc["GroupNorm_0"] = _gn_(sd, "encoder.norm_out")
+    enc[f"Conv_{dc}"] = _conv_(sd, "encoder.conv_out")
+
+    dec: dict = {"Conv_0": _conv_(sd, "decoder.conv_in")}
+    dec["ResnetBlock_0"] = _resnet_block(sd, "decoder.mid.block_1", False)
+    dec["AttnBlock_0"] = _attn_block(sd, "decoder.mid.attn_1")
+    dec["ResnetBlock_1"] = _resnet_block(sd, "decoder.mid.block_2", False)
+    rb = 2
+    dc = 1
+    ch = cfg.base_ch * cfg.ch_mult[-1]
+    for i in reversed(range(nlv)):
+        out_ch = cfg.base_ch * cfg.ch_mult[i]
+        for j in range(cfg.num_res_blocks + 1):
+            dec[f"ResnetBlock_{rb}"] = _resnet_block(
+                sd, f"decoder.up.{i}.block.{j}", ch != out_ch)
+            ch = out_ch
+            rb += 1
+        if i != 0:
+            dec[f"Conv_{dc}"] = _conv_(sd, f"decoder.up.{i}.upsample.conv")
+            dc += 1
+    dec["GroupNorm_0"] = _gn_(sd, "decoder.norm_out")
+    dec[f"Conv_{dc}"] = _conv_(sd, "decoder.conv_out")
+
+    return {"encoder": enc, "decoder": dec,
+            "quant_conv": _conv_(sd, "quant_conv"),
+            "post_quant_conv": _conv_(sd, "post_quant_conv")}
+
+
+def convert_vae_checkpoint(path: str, config=None) -> dict:
+    """Load the reference VAE ckpt (state_dict possibly nested under
+    ``state_dict`` with ``first_stage_model.`` prefixes —
+    `AutoencoderKL.py:55-87`) and convert."""
+    import torch
+    ckpt = torch.load(path, map_location="cpu")
+    sd = ckpt.get("state_dict", ckpt)
+    fs = {k[len("first_stage_model."):]: v for k, v in sd.items()
+          if k.startswith("first_stage_model.")}
+    return convert_vae(fs or sd, config)
+
+
 def convert_nnet_checkpoint(path: str, architecture: str = "GN") -> dict:
     """Load the reference ``nyu.pt`` (keys ``encoder.original_model.*`` /
     ``decoder.*``, loaded with ``module.`` stripping like

@@ -240,3 +240,56 @@ def test_uniad_track_single_frame():
     # second frame consumes the carried state
     state2, results2 = model.apply(variables, imgs, lidar2img, state)
     assert bool(state2.has_prev)
+
+
+def test_deform_conv_zero_init_is_half_conv():
+    """DCNv2 with zero-initialized conv_offset: offsets are 0 and the
+    modulation mask is sigmoid(0) = 0.5, so the op equals 0.5x a plain
+    3x3 conv with the same kernel (mmcv's init convention)."""
+    from sndepth_tpu.models.deformable import DeformConv2d
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 9, 11, 6), jnp.float32)
+    m = DeformConv2d(4, kernel=3, stride=1)
+    v = m.init(jax.random.PRNGKey(0), x)
+    got = np.asarray(m.apply(v, x))
+
+    k = np.asarray(v["params"]["kernel"]).reshape(3, 3, 6, 4)
+    want = 0.5 * np.asarray(jax.lax.conv_general_dilated(
+        x, jnp.asarray(k), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_deform_conv_stride_and_grads():
+    from sndepth_tpu.models.deformable import DeformConv2d
+
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(1, 8, 12, 5), jnp.float32)
+    m = DeformConv2d(7, kernel=3, stride=2)
+    v = m.init(jax.random.PRNGKey(1), x)
+    out = m.apply(v, x)
+    assert out.shape == (1, 4, 6, 7)
+
+    def loss(params):
+        return jnp.sum(m.apply({"params": params}, x) ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    gk = float(jnp.abs(g["kernel"]).sum())
+    go = float(jnp.abs(g["conv_offset"]["kernel"]).sum())
+    assert np.isfinite(gk) and gk > 0
+    assert np.isfinite(go) and go > 0   # offsets receive gradient
+
+
+def test_uniad_backbone_dcn_stages():
+    """ResNetFPN instantiates DeformConv2d exactly in the configured
+    stages (reference stage_with_dcn=(False, False, True, True))."""
+    from sndepth_tpu.models.uniad_track import ResNetFPN
+    net = ResNetFPN(stage_blocks=(1, 1, 1, 1), embed_dims=16)
+    v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    flat = "/".join(str(k) for k in v["params"].keys())
+    import flax
+    keys = flax.traverse_util.flatten_dict(v["params"], sep="/").keys()
+    dcn_blocks = {k.split("/")[0] for k in keys if "DeformConv2d" in k}
+    # stages 0,1 plain (blocks 0-1), stages 2,3 DCN (blocks 2-3)
+    assert dcn_blocks == {"_Bottleneck_2", "_Bottleneck_3"}, dcn_blocks
