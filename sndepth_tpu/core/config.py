@@ -50,6 +50,9 @@ class GeoNetConfig:
 
     # TPU-specific knobs (no reference counterpart)
     compute_dtype: Any = jnp.bfloat16
+    # DispNetS encoder levels whose stride-1 conv runs in exact
+    # space-to-depth form (see models/dispnet._S2DConv).
+    dispnet_s2d_levels: tuple = (0,)
     # Pallas fused-DSSIM kernel: measured at parity with XLA's own fusion
     # (see kernels/dssim.py), so off by default in the train path.
     use_fused_warp_ssim_kernel: bool = False

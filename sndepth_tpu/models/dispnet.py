@@ -30,10 +30,101 @@ Array = jax.Array
 _xavier = nn.initializers.xavier_uniform()
 
 
+def _space_to_depth(x: Array) -> Array:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C); channel = (dy*2 + dx)*C + c."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def _depth_to_space(x: Array) -> Array:
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, 2, 2, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def _s2d_tap_map(kernel: int) -> tuple[int, int, "np.ndarray", "np.ndarray"]:
+    """Static (u, v) gather indices turning a KxK stride-1 conv into an
+    equivalent KSxKS conv in 2x2 space-to-depth space.
+
+    Output phase (a, b) and s2d tap (py, px, p, q) select original tap
+    ``u = 2*(py - pad) + p + P - a`` (P = (K-1)//2); out-of-range taps point
+    at a zero pad slot (index K). Returns (KS, pad, u_idx, v_idx) with
+    u_idx/v_idx of shape (KS, 2, 2) indexed [py, p, a] / [px, q, b].
+    """
+    import numpy as np
+    P = (kernel - 1) // 2
+    # Enumerate sy = a - P + u to find the s2d tap extent.
+    pys = [((a - P + u) - (a - P + u) % 2) // 2
+           for a in range(2) for u in range(kernel)]
+    pad = -min(pys)
+    ks = max(pys) + pad + 1
+    u_idx = np.full((ks, 2, 2), kernel, np.int32)   # sentinel -> zero slot
+    for a in range(2):
+        for u in range(kernel):
+            sy = a - P + u
+            p = sy % 2
+            py = (sy - p) // 2 + pad
+            u_idx[py, p, a] = u
+    return ks, pad, u_idx, u_idx.copy()
+
+
+class _S2DConv(nn.Module):
+    """Stride-1 KxK conv evaluated in 2x2 space-to-depth space.
+
+    Mathematically identical to ``nn.Conv(features, (K, K), padding=P)``
+    with the *same* param tree (kernel (K, K, Cin, Cout) + bias), but the
+    MXU sees a KSxKS conv with 4*Cin -> 4*Cout channels at half resolution:
+    for the lane-starved early DispNetS layers (32 ch) XLA sustains ~9
+    TFLOPS on the direct form in-step vs >100 TFLOPS on the 128-channel
+    s2d form — the 2x tap-FLOP overhead is a large net win. Exactness is
+    tested against nn.Conv in tests/test_geonet_train.py.
+    """
+    features: int
+    kernel: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c_in = x.shape[-1]
+        w = self.param("kernel", _xavier,
+                       (self.kernel, self.kernel, c_in, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if x.shape[1] % 2 or x.shape[2] % 2:
+            # Odd spatial dims: fall back to the direct form (same params).
+            p = (self.kernel - 1) // 2
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), w.astype(self.dtype), (1, 1),
+                ((p, p), (p, p)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y + bias.astype(self.dtype)
+        ks, pad, u_idx, v_idx = _s2d_tap_map(self.kernel)
+
+        wp = jnp.pad(w.astype(self.dtype),
+                     ((0, 1), (0, 1), (0, 0), (0, 0)))
+        # wk[py, px, (p, q, cin), (a, b, cout)] = w[u(py,p,a), v(px,q,b)]
+        wk = wp[u_idx[:, None, :, None, :, None],
+                v_idx[None, :, None, :, None, :]]
+        # -> (py, px, p, q, a, b, cin, cout) -> (py, px, p, q, cin, a, b, co)
+        wk = jnp.transpose(wk, (0, 1, 2, 3, 6, 4, 5, 7))
+        wk = wk.reshape(ks, ks, 4 * c_in, 4 * self.features)
+
+        xs = _space_to_depth(x.astype(self.dtype))
+        y = jax.lax.conv_general_dilated(
+            xs, wk, (1, 1), ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y + jnp.tile(bias, 4).astype(self.dtype)
+        return _depth_to_space(y)
+
+
 class _DownBlock(nn.Module):
     features: int
     kernel: int
     dtype: Any
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -46,8 +137,13 @@ class _DownBlock(nn.Module):
         x = nn.Conv(self.features, (self.kernel, self.kernel), strides=(2, 2),
                     padding=pad, dtype=self.dtype, kernel_init=_xavier)(x)
         x = nn.relu(x)
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    padding=pad, dtype=self.dtype, kernel_init=_xavier)(x)
+        if self.s2d:
+            # Same params/name as the nn.Conv branch (checkpoint-exact).
+            x = _S2DConv(self.features, self.kernel, self.dtype,
+                         name="Conv_1")(x)
+        else:
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        padding=pad, dtype=self.dtype, kernel_init=_xavier)(x)
         return nn.relu(x)
 
 
@@ -122,6 +218,10 @@ class DispNetS(nn.Module):
     # Rematting the decoder too measured slower (328 ms) -- encoder only.
     # Transparent to the param tree; no effect on inference.
     remat: bool = True
+    # Encoder levels whose stride-1 conv runs in space-to-depth form
+    # (exact; see _S2DConv). Level 0's direct 7x7 32ch conv is the single
+    # hottest op in the train step (9.4 TFLOPS in-step layout pathology).
+    s2d_levels: Sequence[int] = (0,)
 
     @nn.compact
     def __call__(self, x: Array) -> tuple[Array, Array, Array, Array]:
@@ -136,7 +236,8 @@ class DispNetS(nn.Module):
             # Explicit name keeps the param tree identical with/without
             # remat (nn.remat would otherwise rename the module scope,
             # breaking the torch-checkpoint converter paths).
-            h = down(planes, k, self.dtype, name=f"_DownBlock_{i}")(h)
+            h = down(planes, k, self.dtype, i in self.s2d_levels,
+                     name=f"_DownBlock_{i}")(h)
             feats.append(h)
         c1, c2, c3, c4, c5, c6, c7 = feats
 

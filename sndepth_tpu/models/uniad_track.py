@@ -154,7 +154,7 @@ class UniADTrack(nn.Module):
 
     def setup(self):
         self.backbone = ResNetFPN(self.backbone_blocks, self.embed_dims,
-                                  self.dtype)
+                                  dtype=self.dtype)
         self.head = BEVFormerTrackHead(
             bev_h=self.bev_h, bev_w=self.bev_w, embed_dims=self.embed_dims,
             num_classes=self.num_classes, num_query=self.num_query,

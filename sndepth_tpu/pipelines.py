@@ -76,10 +76,14 @@ class NNETStage:
         self.model = NNET(dtype=dtype)
         if variables is None:
             b, h, w = sample_shape
-            variables = self.model.init(
+            # jitted init: eager flax init dispatches thousands of tiny ops,
+            # which is pathological over a remote-device tunnel (~100 ms/op).
+            # Batch-1 sample: params are batch-independent and the smaller
+            # program stays under the remote compile-upload limit.
+            variables = jax.jit(self.model.init)(
                 rng if rng is not None else jax.random.PRNGKey(0),
-                jnp.zeros((b, h, w)), jnp.zeros((b, h, w, 3)),
-                jnp.zeros((b, h, w, 4)), jnp.zeros((b, h, w, 1)))
+                jnp.zeros((1, h, w)), jnp.zeros((1, h, w, 3)),
+                jnp.zeros((1, h, w, 4)), jnp.zeros((1, h, w, 1)))
         self.variables = variables
 
         @jax.jit

@@ -137,3 +137,45 @@ def test_multihost_single_process():
     assert info["process_count"] == 1
     per, off = per_host_batch_slice(8)
     assert per == 8 and off == 0
+
+
+def test_s2d_conv_matches_direct_conv():
+    """_S2DConv (space-to-depth form of the lane-starved encoder convs) is
+    mathematically identical to nn.Conv with the same params, including the
+    odd-spatial-dim fallback path."""
+    import flax.linen as nn
+
+    from sndepth_tpu.models.dispnet import _S2DConv
+
+    rng = np.random.RandomState(0)
+    for k, c, h, w in [(7, 32, 16, 24), (5, 64, 12, 20), (3, 16, 8, 10),
+                       (7, 32, 15, 24)]:
+        x = jnp.asarray(rng.randn(2, h, w, c), jnp.float32)
+        p = k // 2
+        ref = nn.Conv(c, (k, k), padding=((p, p), (p, p)),
+                      dtype=jnp.float32)
+        variables = ref.init(jax.random.PRNGKey(1), x)
+        y_ref = ref.apply(variables, x)
+        y_s2d = _S2DConv(c, k, jnp.float32).apply(
+            {"params": variables["params"]}, x)
+        np.testing.assert_allclose(np.asarray(y_s2d), np.asarray(y_ref),
+                                   atol=1e-4)
+
+
+def test_dispnet_s2d_levels_same_params_and_outputs():
+    """s2d_levels changes compute form only: identical param tree, same
+    disparities (f32 rounding)."""
+    from sndepth_tpu.models.dispnet import DispNetS
+
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 64, 96, 3),
+                    jnp.float32)
+    net0 = DispNetS(dtype=jnp.float32, s2d_levels=())
+    net1 = DispNetS(dtype=jnp.float32, s2d_levels=(0, 1))
+    v = net0.init(jax.random.PRNGKey(0), x)
+    v1 = net1.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(v["params"]) ==
+            jax.tree_util.tree_structure(v1["params"]))
+    d0 = net0.apply(v, x)
+    d1 = net1.apply(v, x)
+    for a, b in zip(d0, d1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
