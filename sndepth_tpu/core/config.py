@@ -53,6 +53,11 @@ class GeoNetConfig:
     # DispNetS encoder levels whose stride-1 conv runs in exact
     # space-to-depth form (see models/dispnet._S2DConv).
     dispnet_s2d_levels: tuple = (0,)
+    # Rematerialize DispNetS encoder blocks in backward. Round-1 remat won
+    # 339->308 ms when the direct 7x7 conv dominated; with the s2d conv the
+    # recompute (2 extra conv passes) costs more than storing: measured
+    # 225.6 (off) vs 242.6 (on) ms/step at batch 128 on v5e.
+    dispnet_remat: bool = False
     # Pallas fused-DSSIM kernel: measured at parity with XLA's own fusion
     # (see kernels/dssim.py), so off by default in the train path.
     use_fused_warp_ssim_kernel: bool = False

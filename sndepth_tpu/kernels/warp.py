@@ -175,6 +175,10 @@ def _row_chunk_loop(img_ref, nch, x0i, x1i, y0i, y1i, per_row_chunk, init):
     return jax.lax.fori_loop(ymin, ymax + 1, row_body, init)
 
 
+_TWIN = 4             # diagonal fast-path t-window (see _fwd_kernel)
+_TGRP = 3             # aligned 8-row groups backing the t-window
+
+
 def _fwd_kernel(x_ref, y_ref, img_ref, out_ref, *refs, h, w, nch, mode,
                 save_tangents):
     """Forward warp; with ``save_tangents`` also emits the coordinate
@@ -198,6 +202,10 @@ def _fwd_kernel(x_ref, y_ref, img_ref, out_ref, *refs, h, w, nch, mode,
     hp, wp = img_ref.shape[2], img_ref.shape[3]
     kwin = min(_KWIN, hp)            # hp is a multiple of 8
     cwin = min(_CWIN, wp // _LANE)
+    # Diagonal fast path only pays when the image is taller than the
+    # legacy window (else the window already covers every row statically).
+    diag = hp > _KWIN and hp >= _TGRP * _SUB
+    subl = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 0)
 
     for t in range(_TPS):
         sl = slice(t * _SUB, (t + 1) * _SUB)
@@ -214,15 +222,39 @@ def _fwd_kernel(x_ref, y_ref, img_ref, out_ref, *refs, h, w, nch, mode,
         ymax = jnp.max(y1i)
         cminv = jnp.min(q0)
         cmaxv = jnp.max(q1)
-        ybase = jnp.clip((ymin // _SUB) * _SUB, 0, hp - kwin)
         cbase = jnp.clip(cminv, 0, wp // _LANE - cwin)
-        fast = (ymax - ybase < kwin) & (cmaxv - cbase < cwin)
+        cfast = cmaxv - cbase < cwin
+
+        if diag:
+            # DIAGONAL fast path. For smooth warps the source row of an
+            # output pixel tracks its sublane with slope 1, so
+            # tr = y - sublane is nearly constant per tile: loop a
+            # _TWIN-value window of tr instead of _KWIN candidate rows.
+            # For a fixed tr, row = tr + sublane depends on the sublane
+            # only, so a per-pixel sublane gather with index
+            # (tr + s) % 8 over _TGRP aligned groups followed by the lane
+            # gather is exact — ~3x fewer vector ops than the row sweep.
+            t0d = y0i - subl
+            t1d = y1i - subl
+            gb = jnp.clip((jnp.min(t0d) // _SUB) * _SUB, 0,
+                          hp - _TGRP * _SUB)
+            t0r = t0d - gb
+            t1r = t1d - gb
+            tb = jnp.min(t0r)
+            tmaxr = jnp.max(t1r)
+            fast = (cfast & (tb >= 0) & (tmaxr - tb < _TWIN)
+                    & (tmaxr <= (_TGRP - 1) * _SUB))
+        else:
+            ybase = jnp.clip((ymin // _SUB) * _SUB, 0, hp - kwin)
+            fast = cfast & (ymax - ybase < kwin)
 
         @pl.when(fast)
         def _fast_path():
             # Preload all (chunk, group, channel) blocks once.
             blocks = {}
             chunk_w = []
+            ngrp = _TGRP if diag else kwin // _SUB
+            gbase = gb if diag else ybase
             for ci in range(cwin):
                 c = cbase + ci
                 base = pl.multiple_of(c * _LANE, _LANE)
@@ -230,8 +262,8 @@ def _fwd_kernel(x_ref, y_ref, img_ref, out_ref, *refs, h, w, nch, mode,
                 in1 = (q1 == c).astype(jnp.float32)
                 chunk_w.append((wx0 * in0, wx1 * in1,
                                 dvx0 * in0, dvx1 * in1))
-                for g in range(kwin // _SUB):
-                    row0 = pl.multiple_of(ybase + g * _SUB, _SUB)
+                for g in range(ngrp):
+                    row0 = pl.multiple_of(gbase + g * _SUB, _SUB)
                     for ch in range(nch):
                         blocks[ci, g, ch] = img_ref[
                             0, ch, pl.ds(row0, _SUB), pl.ds(base, _LANE)]
@@ -240,28 +272,58 @@ def _fwd_kernel(x_ref, y_ref, img_ref, out_ref, *refs, h, w, nch, mode,
             accs = [zero] * nch
             txs = [zero] * nch
             tys = [zero] * nch
-            for g in range(kwin // _SUB):
-                for r in range(_SUB):
-                    k = ybase + g * _SUB + r
-                    m0 = (y0i == k).astype(jnp.float32)
-                    m1 = (y1i == k).astype(jnp.float32)
+
+            if diag:
+                for dt in range(_TWIN):
+                    tr = tb + dt
+                    m0 = (t0r == tr).astype(jnp.float32)
+                    m1 = (t1r == tr).astype(jnp.float32)
                     wk = wy0 * m0 + wy1 * m1
                     if save_tangents:
                         syk = m1 * dvy1 - m0 * dvy0
-                    idxr = jnp.full((_SUB, _LANE), r, jnp.int32)
+                    srow = tr + subl
+                    sub_idx = jnp.remainder(srow, _SUB)
+                    gsel = srow // _SUB
                     for ci in range(cwin):
                         wx0c, wx1c, dv0c, dv1c = chunk_w[ci]
                         for ch in range(nch):
-                            tab = jnp.take_along_axis(
-                                blocks[ci, g, ch], idxr, axis=0)
-                            g0 = jnp.take_along_axis(tab, r0, axis=1)
-                            g1 = jnp.take_along_axis(tab, r1, axis=1)
+                            u = jnp.take_along_axis(
+                                blocks[ci, 0, ch], sub_idx, axis=0)
+                            for g in range(1, _TGRP):
+                                ug = jnp.take_along_axis(
+                                    blocks[ci, g, ch], sub_idx, axis=0)
+                                u = jnp.where(gsel == g, ug, u)
+                            g0 = jnp.take_along_axis(u, r0, axis=1)
+                            g1 = jnp.take_along_axis(u, r1, axis=1)
                             t0 = wx0c * g0 + wx1c * g1
                             accs[ch] = accs[ch] + wk * t0
                             if save_tangents:
                                 txs[ch] = txs[ch] + wk * (dv1c * g1
                                                           - dv0c * g0)
                                 tys[ch] = tys[ch] + syk * t0
+            else:
+                for g in range(ngrp):
+                    for r in range(_SUB):
+                        k = gbase + g * _SUB + r
+                        m0 = (y0i == k).astype(jnp.float32)
+                        m1 = (y1i == k).astype(jnp.float32)
+                        wk = wy0 * m0 + wy1 * m1
+                        if save_tangents:
+                            syk = m1 * dvy1 - m0 * dvy0
+                        idxr = jnp.full((_SUB, _LANE), r, jnp.int32)
+                        for ci in range(cwin):
+                            wx0c, wx1c, dv0c, dv1c = chunk_w[ci]
+                            for ch in range(nch):
+                                tab = jnp.take_along_axis(
+                                    blocks[ci, g, ch], idxr, axis=0)
+                                g0 = jnp.take_along_axis(tab, r0, axis=1)
+                                g1 = jnp.take_along_axis(tab, r1, axis=1)
+                                t0 = wx0c * g0 + wx1c * g1
+                                accs[ch] = accs[ch] + wk * t0
+                                if save_tangents:
+                                    txs[ch] = txs[ch] + wk * (dv1c * g1
+                                                              - dv0c * g0)
+                                    tys[ch] = tys[ch] + syk * t0
             for ch in range(nch):
                 out_ref[0, ch, sl] = accs[ch]
                 if save_tangents:

@@ -152,3 +152,35 @@ def test_warp_of_flow_gradients_with_splat():
         np.testing.assert_allclose(got, want, atol=1e-4)
     finally:
         kw._SPLAT = old
+
+
+def test_kernel_diagonal_fast_path_tall_image():
+    """hp > 16 engages the diagonal (slope-1) fast path: smooth rigid-flow
+    coords must match both samplers for values and coordinate grads, and
+    wild coords must still fall back correctly."""
+    rng = np.random.RandomState(7)
+    b, h, w, c = 2, 40, 200, 3
+    imgs = jnp.asarray(rng.rand(b, h, w, c), jnp.float32)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    grid = np.stack([xs, ys], -1)[None].repeat(b, 0)
+
+    smooth = jnp.asarray(grid + rng.uniform(-2, 2, grid.shape)
+                         + np.array([3.0, -1.5]), jnp.float32)
+    wild = jnp.asarray(
+        rng.uniform(-8, max(h, w) + 8, (b, h, w, 2)), jnp.float32)
+
+    for mode, ref in _REF.items():
+        for coords in (smooth, wild):
+            got = np.asarray(pallas_sampler(imgs, coords, mode))
+            want = np.asarray(ref(imgs, coords))
+            np.testing.assert_allclose(got, want, atol=1e-5, err_msg=mode)
+
+        def loss_p(cc):
+            return jnp.sum(jnp.cos(pallas_sampler(imgs, cc, mode)))
+
+        def loss_r(cc):
+            return jnp.sum(jnp.cos(ref(imgs, cc)))
+
+        gp = np.asarray(jax.grad(loss_p)(smooth))
+        gr = np.asarray(jax.grad(loss_r)(smooth))
+        np.testing.assert_allclose(gp, gr, atol=1e-4, err_msg=mode)
