@@ -225,36 +225,12 @@ def _fwd_kernel(x_ref, y_ref, img_ref, out_ref, *refs, h, w, nch, mode,
         cbase = jnp.clip(cminv, 0, wp // _LANE - cwin)
         cfast = cmaxv - cbase < cwin
 
-        if diag:
-            # DIAGONAL fast path. For smooth warps the source row of an
-            # output pixel tracks its sublane with slope 1, so
-            # tr = y - sublane is nearly constant per tile: loop a
-            # _TWIN-value window of tr instead of _KWIN candidate rows.
-            # For a fixed tr, row = tr + sublane depends on the sublane
-            # only, so a per-pixel sublane gather with index
-            # (tr + s) % 8 over _TGRP aligned groups followed by the lane
-            # gather is exact — ~3x fewer vector ops than the row sweep.
-            t0d = y0i - subl
-            t1d = y1i - subl
-            gb = jnp.clip((jnp.min(t0d) // _SUB) * _SUB, 0,
-                          hp - _TGRP * _SUB)
-            t0r = t0d - gb
-            t1r = t1d - gb
-            tb = jnp.min(t0r)
-            tmaxr = jnp.max(t1r)
-            fast = (cfast & (tb >= 0) & (tmaxr - tb < _TWIN)
-                    & (tmaxr <= (_TGRP - 1) * _SUB))
-        else:
-            ybase = jnp.clip((ymin // _SUB) * _SUB, 0, hp - kwin)
-            fast = cfast & (ymax - ybase < kwin)
+        ybase = jnp.clip((ymin // _SUB) * _SUB, 0, hp - kwin)
+        legacy_ok = cfast & (ymax - ybase < kwin)
 
-        @pl.when(fast)
-        def _fast_path():
-            # Preload all (chunk, group, channel) blocks once.
+        def _preload(gbase, ngrp):
             blocks = {}
             chunk_w = []
-            ngrp = _TGRP if diag else kwin // _SUB
-            gbase = gb if diag else ybase
             for ci in range(cwin):
                 c = cbase + ci
                 base = pl.multiple_of(c * _LANE, _LANE)
@@ -267,13 +243,47 @@ def _fwd_kernel(x_ref, y_ref, img_ref, out_ref, *refs, h, w, nch, mode,
                     for ch in range(nch):
                         blocks[ci, g, ch] = img_ref[
                             0, ch, pl.ds(row0, _SUB), pl.ds(base, _LANE)]
+            return blocks, chunk_w
 
-            zero = jnp.zeros((_SUB, _LANE), jnp.float32)
-            accs = [zero] * nch
-            txs = [zero] * nch
-            tys = [zero] * nch
+        def _store(accs, txs, tys):
+            for ch in range(nch):
+                out_ref[0, ch, sl] = accs[ch]
+                if save_tangents:
+                    tx_ref[0, ch, sl] = txs[ch]
+                    ty_ref[0, ch, sl] = tys[ch]
 
-            if diag:
+        zero = jnp.zeros((_SUB, _LANE), jnp.float32)
+
+        if diag:
+            # DIAGONAL fast path (tier 1). For smooth warps the source row
+            # of an output pixel tracks its sublane with slope 1, so
+            # tr = y - sublane is nearly constant per tile: loop a
+            # _TWIN-value window of tr instead of _KWIN candidate rows.
+            # For a fixed tr, row = tr + sublane depends on the sublane
+            # only, so a per-pixel sublane gather with index
+            # (tr + s) % 8 over _TGRP aligned groups followed by the lane
+            # gather is exact. Tiles that miss the tr-window but fit the
+            # legacy 16-row window take the row sweep (tier 2); the rest
+            # take the dynamic-span loop (tier 3).
+            t0d = y0i - subl
+            t1d = y1i - subl
+            gb = jnp.clip((jnp.min(t0d) // _SUB) * _SUB, 0,
+                          hp - _TGRP * _SUB)
+            t0r = t0d - gb
+            t1r = t1d - gb
+            tb = jnp.min(t0r)
+            tmaxr = jnp.max(t1r)
+            diag_ok = (cfast & (tb >= 0) & (tmaxr - tb < _TWIN)
+                       & (tmaxr <= (_TGRP - 1) * _SUB))
+            run_legacy = jnp.logical_not(diag_ok) & legacy_ok
+            run_slow = jnp.logical_not(diag_ok) & jnp.logical_not(legacy_ok)
+
+            @pl.when(diag_ok)
+            def _diag_path():
+                blocks, chunk_w = _preload(gb, _TGRP)
+                accs = [zero] * nch
+                txs = [zero] * nch
+                tys = [zero] * nch
                 for dt in range(_TWIN):
                     tr = tb + dt
                     m0 = (t0r == tr).astype(jnp.float32)
@@ -301,36 +311,42 @@ def _fwd_kernel(x_ref, y_ref, img_ref, out_ref, *refs, h, w, nch, mode,
                                 txs[ch] = txs[ch] + wk * (dv1c * g1
                                                           - dv0c * g0)
                                 tys[ch] = tys[ch] + syk * t0
-            else:
-                for g in range(ngrp):
-                    for r in range(_SUB):
-                        k = gbase + g * _SUB + r
-                        m0 = (y0i == k).astype(jnp.float32)
-                        m1 = (y1i == k).astype(jnp.float32)
-                        wk = wy0 * m0 + wy1 * m1
-                        if save_tangents:
-                            syk = m1 * dvy1 - m0 * dvy0
-                        idxr = jnp.full((_SUB, _LANE), r, jnp.int32)
-                        for ci in range(cwin):
-                            wx0c, wx1c, dv0c, dv1c = chunk_w[ci]
-                            for ch in range(nch):
-                                tab = jnp.take_along_axis(
-                                    blocks[ci, g, ch], idxr, axis=0)
-                                g0 = jnp.take_along_axis(tab, r0, axis=1)
-                                g1 = jnp.take_along_axis(tab, r1, axis=1)
-                                t0 = wx0c * g0 + wx1c * g1
-                                accs[ch] = accs[ch] + wk * t0
-                                if save_tangents:
-                                    txs[ch] = txs[ch] + wk * (dv1c * g1
-                                                              - dv0c * g0)
-                                    tys[ch] = tys[ch] + syk * t0
-            for ch in range(nch):
-                out_ref[0, ch, sl] = accs[ch]
-                if save_tangents:
-                    tx_ref[0, ch, sl] = txs[ch]
-                    ty_ref[0, ch, sl] = tys[ch]
+                _store(accs, txs, tys)
+        else:
+            run_legacy = legacy_ok
+            run_slow = jnp.logical_not(legacy_ok)
 
-        @pl.when(jnp.logical_not(fast))
+        @pl.when(run_legacy)
+        def _legacy_path():
+            blocks, chunk_w = _preload(ybase, kwin // _SUB)
+            accs = [zero] * nch
+            txs = [zero] * nch
+            tys = [zero] * nch
+            for g in range(kwin // _SUB):
+                for r in range(_SUB):
+                    k = ybase + g * _SUB + r
+                    m0 = (y0i == k).astype(jnp.float32)
+                    m1 = (y1i == k).astype(jnp.float32)
+                    wk = wy0 * m0 + wy1 * m1
+                    if save_tangents:
+                        syk = m1 * dvy1 - m0 * dvy0
+                    idxr = jnp.full((_SUB, _LANE), r, jnp.int32)
+                    for ci in range(cwin):
+                        wx0c, wx1c, dv0c, dv1c = chunk_w[ci]
+                        for ch in range(nch):
+                            tab = jnp.take_along_axis(
+                                blocks[ci, g, ch], idxr, axis=0)
+                            g0 = jnp.take_along_axis(tab, r0, axis=1)
+                            g1 = jnp.take_along_axis(tab, r1, axis=1)
+                            t0 = wx0c * g0 + wx1c * g1
+                            accs[ch] = accs[ch] + wk * t0
+                            if save_tangents:
+                                txs[ch] = txs[ch] + wk * (dv1c * g1
+                                                          - dv0c * g0)
+                                tys[ch] = tys[ch] + syk * t0
+            _store(accs, txs, tys)
+
+        @pl.when(run_slow)
         def _slow_path():
             def fold(carry, m_y0, m_y1, g0s, g1s):
                 accs, txs, tys = carry
