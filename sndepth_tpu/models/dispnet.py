@@ -101,20 +101,19 @@ class _S2DConv(nn.Module):
                 ((p, p), (p, p)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             return y + bias.astype(self.dtype)
-        ks, pad, u_idx, v_idx = _s2d_tap_map(self.kernel)
-
-        wp = jnp.pad(w.astype(self.dtype),
-                     ((0, 1), (0, 1), (0, 0), (0, 0)))
-        # wk[py, px, (p, q, cin), (a, b, cout)] = w[u(py,p,a), v(px,q,b)]
-        wk = wp[u_idx[:, None, :, None, :, None],
-                v_idx[None, :, None, :, None, :]]
-        # -> (py, px, p, q, a, b, cin, cout) -> (py, px, p, q, cin, a, b, co)
-        wk = jnp.transpose(wk, (0, 1, 2, 3, 6, 4, 5, 7))
-        wk = wk.reshape(ks, ks, 4 * c_in, 4 * self.features)
-
-        xs = _space_to_depth(x.astype(self.dtype))
+        # Fold the space-to-depth of the *input* into the conv itself:
+        # y_s2d[i, j, (a, b, co)] = y[2i+a, 2j+b] is a stride-2 conv over
+        # the original x with a (K+2)-extent kernel whose (a, b) output
+        # block is w padded by (a, 2-a)/(b, 2-b) — no input layout copy
+        # (the explicit s2d transpose cost ~2 ms/step in XLA copies).
+        P = (self.kernel - 1) // 2
+        wd = w.astype(self.dtype)
+        k10 = jnp.concatenate(
+            [jnp.pad(wd, ((a, 2 - a), (b, 2 - b), (0, 0), (0, 0)))
+             for a in (0, 1) for b in (0, 1)], axis=-1)
         y = jax.lax.conv_general_dilated(
-            xs, wk, (1, 1), ((pad, pad), (pad, pad)),
+            x.astype(self.dtype), k10, (2, 2),
+            ((P, P + 1), (P, P + 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         y = y + jnp.tile(bias, 4).astype(self.dtype)
         return _depth_to_space(y)
@@ -170,13 +169,49 @@ class TorchConvTranspose2x(nn.Module):
         return y + b.astype(self.dtype)
 
 
-class _UpConv(nn.Module):
+class _S2DUpConv2x(nn.Module):
+    """TorchConvTranspose2x evaluated in space-to-depth output form.
+
+    The k3/s2/p1/op1 transposed conv writes output phase (a, b) from at
+    most 2x2 input taps: y[2i+a, 2j+b] = sum_{dy,dx in {0,1}}
+    x[i+dy, j+dx] * k[r(a,dy), r(b,dx)] with r = {0: (1, -), 1: (2, 0)}
+    (phase 0 has a single tap; the dy=1 slot is zero). So the whole op is
+    a 2x2 stride-1 conv with 4*features output channels followed by a
+    depth-to-space — same FLOPs, but the MXU sees 4x the output lanes
+    (the direct lhs-dilated form is lane-starved at 16-32 channels and
+    its backward materializes full-res reverses). Same param tree as
+    TorchConvTranspose2x; exactness tested in test_geonet_train.py.
+    """
     features: int
-    dtype: Any
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = TorchConvTranspose2x(self.features, self.dtype)(x)
+        in_ch = x.shape[-1]
+        k = self.param("kernel", _xavier, (3, 3, in_ch, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        kp = jnp.pad(k.astype(self.dtype),
+                     ((0, 1), (0, 1), (0, 0), (0, 0)))   # slot 3 == 0
+        ridx = {0: (1, 3), 1: (2, 0)}
+        k2 = jnp.concatenate(
+            [kp[jnp.array(ridx[a])[:, None], jnp.array(ridx[c])[None, :]]
+             for a in (0, 1) for c in (0, 1)], axis=-1)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k2, (1, 1), ((0, 1), (0, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y + jnp.tile(b, 4).astype(self.dtype)
+        return _depth_to_space(y)
+
+
+class _UpConv(nn.Module):
+    features: int
+    dtype: Any
+    s2d: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        cls = _S2DUpConv2x if self.s2d else TorchConvTranspose2x
+        x = cls(self.features, self.dtype, name="TorchConvTranspose2x_0")(x)
         return nn.relu(x)
 
 
@@ -222,6 +257,11 @@ class DispNetS(nn.Module):
     # (exact; see _S2DConv). Level 0's direct 7x7 32ch conv is the single
     # hottest op in the train step (9.4 TFLOPS in-step layout pathology).
     s2d_levels: Sequence[int] = (0,)
+    # Decoder up-conv indices (into dec_planes) evaluated in s2d form
+    # (exact; see _S2DUpConv2x). Default off: measured 225.0 vs 222.5
+    # ms/step with (5, 6) at batch 128 — the depth-to-space output copies
+    # eat the lane-packing gain while i1/i2 stay in original space.
+    s2d_up_levels: Sequence[int] = ()
 
     @nn.compact
     def __call__(self, x: Array) -> tuple[Array, Array, Array, Array]:
@@ -243,6 +283,8 @@ class DispNetS(nn.Module):
 
         def disp_head(h: Array) -> Array:
             # f32 head: sigmoid disparity feeds 1/d — keep full precision.
+            # (A bf16 head conv was measured perf-neutral at batch 128 —
+            # XLA already fuses the casts — so fidelity wins.)
             d = nn.Conv(1, (3, 3), padding="SAME", dtype=jnp.float32,
                         kernel_init=_xavier)(h.astype(jnp.float32))
             return self.alpha * nn.sigmoid(d) + self.beta
@@ -265,12 +307,14 @@ class DispNetS(nn.Module):
         i3 = _IConv(dp[4], self.dtype)(jnp.concatenate([u3, c2, d4_up], -1))
         disp3 = disp_head(i3)
 
-        u2 = _crop_like(_UpConv(dp[5], self.dtype)(i3), c1)
+        u2 = _crop_like(_UpConv(dp[5], self.dtype,
+                                5 in self.s2d_up_levels)(i3), c1)
         d3_up = _crop_like(_upsample2x(disp3), c1).astype(self.dtype)
         i2 = _IConv(dp[5], self.dtype)(jnp.concatenate([u2, c1, d3_up], -1))
         disp2 = disp_head(i2)
 
-        u1 = _crop_like(_UpConv(dp[6], self.dtype)(i2), x)
+        u1 = _crop_like(_UpConv(dp[6], self.dtype,
+                                6 in self.s2d_up_levels)(i2), x)
         d2_up = _crop_like(_upsample2x(disp2), x).astype(self.dtype)
         i1 = _IConv(dp[6], self.dtype)(jnp.concatenate([u1, d2_up], -1))
         disp1 = disp_head(i1)

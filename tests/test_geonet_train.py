@@ -179,3 +179,20 @@ def test_dispnet_s2d_levels_same_params_and_outputs():
     d1 = net1.apply(v, x)
     for a, b in zip(d0, d1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_s2d_upconv_matches_torch_transpose():
+    """_S2DUpConv2x == TorchConvTranspose2x with the same params."""
+    from sndepth_tpu.models.dispnet import (TorchConvTranspose2x,
+                                            _S2DUpConv2x)
+
+    rng = np.random.RandomState(3)
+    for c_in, c_out, h, w in [(32, 16, 10, 14), (8, 4, 5, 7)]:
+        x = jnp.asarray(rng.randn(2, h, w, c_in), jnp.float32)
+        ref = TorchConvTranspose2x(c_out, jnp.float32)
+        variables = ref.init(jax.random.PRNGKey(0), x)
+        y_ref = ref.apply(variables, x)
+        y_s2d = _S2DUpConv2x(c_out, jnp.float32).apply(variables, x)
+        assert y_ref.shape == (2, 2 * h, 2 * w, c_out)
+        np.testing.assert_allclose(np.asarray(y_s2d), np.asarray(y_ref),
+                                   atol=1e-5)
