@@ -154,6 +154,107 @@ class SpatialTransformer(nn.Module):
         return y + residual
 
 
+def chunked_attention(q: Array, k: Array, v: Array, *, chunk: int = 1024,
+                      mask: Array | None = None) -> Array:
+    """Memory-efficient attention: the TPU-native counterpart of the
+    reference's xformers path (`attention.py:294-347`).
+
+    Never materializes the full (n, m) logits: queries are processed in
+    ``chunk``-sized blocks under ``lax.map``, so peak memory is
+    O(chunk * m) while every matmul stays MXU-shaped. Same math as the
+    dense softmax path (f32 accumulation), bit-stable parity tested.
+
+    q: (b, n, h, d); k/v: (b, m, h, d); mask: (b, m) keys validity.
+    """
+    b, n, h, d = q.shape
+    scale = d ** -0.5
+    pad = (-n) % chunk
+    qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    qc = qp.reshape(b, (n + pad) // chunk, chunk, h, d)
+    qc = jnp.moveaxis(qc, 1, 0)            # (nc, b, chunk, h, d)
+
+    def one_chunk(qb):
+        logits = jnp.einsum("bnhd,bmhd->bhnm", qb, k,
+                            preferred_element_type=jnp.float32) * scale
+        if mask is not None:
+            logits = jnp.where(mask[:, None, None, :], logits, -1e9)
+        attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        return jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+
+    out = jax.lax.map(one_chunk, qc)       # (nc, b, chunk, h, d)
+    out = jnp.moveaxis(out, 0, 1).reshape(b, n + pad, h, d)
+    return out[:, :n]
+
+
+class BasicTransformerBlock21(nn.Module):
+    """The reference's ``BasicTransformerBlock_21`` (`attention.py:349-399`):
+    like :class:`BasicTransformerBlock` but ``disable_self_attn`` turns the
+    first attention into cross-attention. The torch ``checkpoint=True``
+    behavior maps to ``nn.remat(BasicTransformerBlock21)`` at use sites;
+    the softmax-vs-xformers mode switch is moot on TPU — XLA fuses the
+    dense path, and :func:`chunked_attention` is the long-sequence form."""
+    heads: int = 8
+    dim_head: int = 64
+    disable_self_attn: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, context: Array | None = None) -> Array:
+        sa_ctx = context if self.disable_self_attn else None
+        x = x + CrossAttention(self.heads, self.dim_head, self.dtype,
+                               name="attn1")(
+            nn.LayerNorm(dtype=self.dtype, name="norm1")(x), sa_ctx)
+        x = x + CrossAttention(self.heads, self.dim_head, self.dtype,
+                               name="attn2")(
+            nn.LayerNorm(dtype=self.dtype, name="norm2")(x), context)
+        x = x + FeedForward(dtype=self.dtype, name="ff")(
+            nn.LayerNorm(dtype=self.dtype, name="norm3")(x))
+        return x
+
+
+class SpatialTransformer21(nn.Module):
+    """The reference's ``SpatialTransformer_21`` (`attention.py:401-471`):
+    per-depth context list, ``use_linear`` projections (Dense on tokens
+    instead of 1x1 convs — identical math, the flag is kept for checkpoint
+    parity), ``disable_self_attn`` plumbed through."""
+    heads: int = 8
+    dim_head: int = 64
+    depth: int = 1
+    use_linear: bool = False
+    disable_self_attn: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array,
+                 context: Array | list[Array] | None = None) -> Array:
+        if not isinstance(context, list):
+            context = [context] * self.depth
+        b, h, w, c = x.shape
+        inner = self.heads * self.dim_head
+        residual = x
+        y = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype)(x)
+        if self.use_linear:
+            y = y.reshape(b, h * w, c)
+            y = nn.Dense(inner, dtype=self.dtype)(y)
+        else:
+            y = nn.Conv(inner, (1, 1), dtype=self.dtype)(y)
+            y = y.reshape(b, h * w, inner)
+        for d in range(self.depth):
+            y = BasicTransformerBlock21(
+                self.heads, self.dim_head,
+                disable_self_attn=self.disable_self_attn,
+                dtype=self.dtype)(y, context[d])
+        if self.use_linear:
+            y = nn.Dense(c, dtype=self.dtype,
+                         kernel_init=nn.initializers.zeros)(y)
+            y = y.reshape(b, h, w, c)
+        else:
+            y = y.reshape(b, h, w, inner)
+            y = nn.Conv(c, (1, 1), dtype=self.dtype,
+                        kernel_init=nn.initializers.zeros)(y)
+        return y + residual
+
+
 class SpatialTransformer3D(nn.Module):
     """Cross-frame variant: tokens from all ``frames`` of a clip attend
     jointly — ``(b f) h w c -> b (f h w) c`` (`attention.py:474-532`)."""

@@ -17,6 +17,7 @@ import jax
 from sndepth_tpu.core.config import GeoNetConfig
 from sndepth_tpu.data.prefetch import device_prefetch
 from sndepth_tpu.parallel import mesh as pmesh
+from sndepth_tpu.parallel.multihost import sync_hosts
 from sndepth_tpu.train import checkpoint as ckpt_lib
 from sndepth_tpu.train import geonet
 from sndepth_tpu.utils.logging import MetricLogger
@@ -43,7 +44,14 @@ def train_geonet(config: GeoNetConfig, batches: Iterator[dict],
     if mesh is not None:
         state = pmesh.replicate_state(state, mesh)
         step_fn = pmesh.make_parallel_train_step(config, mesh)
-        batches = device_prefetch(batches, sharding=pmesh.batch_sharding(mesh))
+        if jax.process_count() > 1:
+            # Each host feeds only its local slice of the global batch;
+            # stitch the local shards into globally-sharded arrays.
+            from sndepth_tpu.parallel.multihost import make_global_batch
+            batches = (make_global_batch(b, mesh) for b in batches)
+        else:
+            batches = device_prefetch(
+                batches, sharding=pmesh.batch_sharding(mesh))
     else:
         step_fn = geonet.make_train_step(config)
         batches = device_prefetch(batches)
@@ -63,7 +71,9 @@ def train_geonet(config: GeoNetConfig, batches: Iterator[dict],
             logger.log(step, jax.device_get(metrics))
         if ckpt_dir is not None and (step % ckpt_every == 0
                                      or step == max_steps):
+            sync_hosts("pre-checkpoint")
             path = ckpt_lib.save_checkpoint(ckpt_dir, state, step)
+            sync_hosts("post-checkpoint")
             print(f"checkpoint -> {path}")
     jax.block_until_ready(metrics)
     dt = time.perf_counter() - t0

@@ -105,3 +105,32 @@ def test_tp_shardings_split_dense_kernels():
     specs = [s.spec for s in jax.tree_util.tree_leaves(sh)]
     assert any(spec == jax.sharding.PartitionSpec(None, "model")
                for spec in specs), "no Dense kernel got model-sharded"
+
+
+def test_make_global_batch_on_mesh():
+    """make_global_batch stitches local host arrays into batch-sharded
+    global jax.Arrays and feeds the DP train step unchanged."""
+    import numpy as np
+
+    from sndepth_tpu.parallel import mesh as mesh_lib
+    from sndepth_tpu.parallel.multihost import (broadcast_from_host0,
+                                                make_global_batch,
+                                                sync_hosts)
+
+    m = mesh_lib.make_mesh()
+    rng = np.random.RandomState(0)
+    batch = {
+        "tgt": rng.randint(0, 256, (8, 16, 24, 3)).astype(np.uint8),
+        "intrinsics": rng.rand(8, 3, 3).astype(np.float32),
+    }
+    global_batch = make_global_batch(batch, m)
+    for k, v in global_batch.items():
+        assert v.shape == batch[k].shape
+        np.testing.assert_array_equal(np.asarray(v), batch[k])
+        # leading axis is sharded over the 8-device data axis
+        shard_shapes = {s.data.shape for s in v.addressable_shards}
+        assert shard_shapes == {(1,) + batch[k].shape[1:]}
+
+    sync_hosts("test")                       # no-op single process
+    tree = broadcast_from_host0({"a": 1})
+    assert tree == {"a": 1}

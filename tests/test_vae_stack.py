@@ -136,3 +136,66 @@ def test_beta_schedules():
                               (2, 3, 3, 1))
     assert out.shape == (2, 1, 1, 1)
     np.testing.assert_allclose(np.asarray(out).ravel(), [2.0, 5.0])
+
+
+def test_chunked_attention_matches_dense():
+    """chunked_attention (the TPU memory-efficient path) is exact vs the
+    dense softmax attention for any chunk size, with and without mask."""
+    from sndepth_tpu.models.attention import chunked_attention
+
+    rng = np.random.RandomState(0)
+    b, n, m, h, d = 2, 37, 29, 4, 16
+    q = jnp.asarray(rng.randn(b, n, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, m, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, m, h, d), jnp.float32)
+    mask = jnp.asarray(rng.rand(b, m) > 0.3)
+
+    def dense(q, k, v, mask):
+        logits = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (d ** -0.5)
+        if mask is not None:
+            logits = jnp.where(mask[:, None, None, :], logits, -1e9)
+        return jnp.einsum("bhnm,bmhd->bnhd",
+                          jax.nn.softmax(logits, -1), v)
+
+    for chunk in (8, 16, 64):
+        for msk in (None, mask):
+            got = chunked_attention(q, k, v, chunk=chunk, mask=msk)
+            np.testing.assert_allclose(np.asarray(got),
+                                       np.asarray(dense(q, k, v, msk)),
+                                       atol=1e-5)
+
+
+def test_transformer_block_21_and_spatial_21():
+    """The _21 variants (`attention.py:349-471`): disable_self_attn routes
+    context into attn1; use_linear swaps 1x1 convs for Dense."""
+    from sndepth_tpu.models.attention import (BasicTransformerBlock21,
+                                              SpatialTransformer21)
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 20, 32), jnp.float32)
+    ctx = jnp.asarray(rng.randn(2, 7, 32), jnp.float32)
+
+    blk = BasicTransformerBlock21(heads=2, dim_head=16,
+                                  disable_self_attn=True)
+    v = blk.init(jax.random.PRNGKey(0), x, ctx)
+    y = blk.apply(v, x, ctx)
+    assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
+    # disable_self_attn must actually consume the context in attn1: a
+    # context perturbation must change the output even with attn2's
+    # context zeroed out... both consume ctx, so compare against the
+    # self-attn variant instead: param trees must match in structure.
+    blk_sa = BasicTransformerBlock21(heads=2, dim_head=16)
+    v_sa = blk_sa.init(jax.random.PRNGKey(0), x, ctx)
+    assert (jax.tree_util.tree_structure(v["params"]) ==
+            jax.tree_util.tree_structure(v_sa["params"]))
+    y_sa = blk_sa.apply(v_sa, x, ctx)
+    assert not np.allclose(np.asarray(y), np.asarray(y_sa))
+
+    img = jnp.asarray(rng.randn(2, 8, 12, 32), jnp.float32)
+    for use_linear in (False, True):
+        st = SpatialTransformer21(heads=2, dim_head=16, depth=2,
+                                  use_linear=use_linear)
+        vs = st.init(jax.random.PRNGKey(2), img, [ctx, None])
+        out = st.apply(vs, img, [ctx, None])
+        assert out.shape == img.shape
+        assert np.isfinite(np.asarray(out)).all()
