@@ -457,6 +457,42 @@ def _skew_last(v: Array) -> Array:
     ], -2)
 
 
+def cholesky_solve6(H: Array, g: Array) -> Array:
+    """Batched SPD 6x6 solve via fully-unrolled Cholesky + two triangular
+    substitutions — pure elementwise math XLA fuses over the (B, N) batch.
+
+    This is the TPU-native equivalent of the reference's CUDA
+    ``cholesky6x6`` kernel (`altcuda/se3_solver.cu`, survey §2.8 row 91);
+    ``jnp.linalg.solve`` would lower to XLA's LuDecompositionBlock
+    custom-call, which measured ~84 ms per 2M-pixel call on v5e (the same
+    pathology fixed in models/nnet.py:_solve3x3). H (..., 6, 6) SPD
+    (Gauss-Newton + LM damping guarantees it), g (..., 6) -> (..., 6).
+    """
+    L = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        for j in range(i + 1):
+            s = H[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+            else:
+                L[i][j] = s / L[j][j]
+    y = []
+    for i in range(6):
+        s = g[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y.append(s / L[i][i])
+    x = [None] * 6
+    for i in reversed(range(6)):
+        s = y[i]
+        for k in range(i + 1, 6):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
 def gauss_newton_step(Ts: Array, ae: Array, target: Array, weight: Array,
                       depth: Array, intrinsics: Array, radius: int = 32,
                       lm: float = 1e-4, ep: float = 10.0,
@@ -604,7 +640,7 @@ def gauss_newton_step(Ts: Array, ae: Array, target: Array, weight: Array,
 
     eye = jnp.eye(6, dtype=f32)
     H = H + lm * H * eye + ep * eye
-    dx = jnp.linalg.solve(H, g[..., None])[..., 0]             # B,N,6
+    dx = cholesky_solve6(H, g)                                 # B,N,6
     dx = dx.reshape(b, h, w, 6)
     return se3.mul(se3.exp(dx), Ts.astype(f32))
 
