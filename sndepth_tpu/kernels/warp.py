@@ -122,13 +122,6 @@ def _tap_setup(x, y, h, w, mode):
     raise ValueError(f"unknown mode {mode!r}")
 
 
-_KWIN = 16            # fast-path row window (2 aligned 8-row groups).
-                      # Trade-off, both measured: 24 wins 15% on warps
-                      # with ~+-6 px vertical spread (12.3 vs 14.6 ms,
-                      # fewer slow-path tiles) but loses 5% on the real
-                      # GeoNet train step (1473 vs 1549 f/s — rigid-flow
-                      # dy spread is sub-row there and the wider window
-                      # is pure overhead). 16 favors the dominant case.
 _CWIN = 2             # fast-path lane-chunk window
 
 
@@ -175,8 +168,10 @@ def _row_chunk_loop(img_ref, nch, x0i, x1i, y0i, y1i, per_row_chunk, init):
     return jax.lax.fori_loop(ymin, ymax + 1, row_body, init)
 
 
-_TWIN = 4             # diagonal fast-path t-window (see _fwd_kernel)
-_TGRP = 3             # aligned 8-row groups backing the t-window
+_TGRP = 3             # aligned 8-row groups backing the direct-path window
+                      # (24 rows: a tile spans 8 output rows, group
+                      # alignment eats up to 7, leaving ~±8 rows of source
+                      # spread before the slow path kicks in)
 
 
 def _fwd_kernel(x_ref, y_ref, img_ref, out_ref, *refs, h, w, nch, mode,
@@ -184,28 +179,30 @@ def _fwd_kernel(x_ref, y_ref, img_ref, out_ref, *refs, h, w, nch, mode,
     """Forward warp; with ``save_tangents`` also emits the coordinate
     tangent planes from the *same* gathers (the gathers dominate, the extra
     fmas are ~free):
-      Tx_ch = d out_ch/dx = sum_k wk*(dvx1*g1 - dvx0*g0)
-      Ty_ch = d out_ch/dy = sum_k sy*(wx0*g0 + wx1*g1)
+      Tx_ch = d out_ch/dx = wy0*(dvx1*I[y0,x1] - dvx0*I[y0,x0]) + wy1*(...)
+      Ty_ch = d out_ch/dy = dvy1*(x-blend at y1) - dvy0*(x-blend at y0)
     which makes the VJP a pure-XLA elementwise contraction with the output
     cotangent — no second gather pass.
 
     Two code paths per output tile, selected at runtime:
-    * FAST (the common case for smooth warps): the tile's source span fits
-      a fixed _KWIN-row x _CWIN-chunk window — fully unrolled static loops
-      over aligned 8-row-group loads. The dynamic-trip fori_loop version
-      measures ~22 cycles/vector-op from scalar loop overhead; the
-      unrolled path pipelines.
-    * SLOW fallback: the original dynamic row/chunk span loop, for tiles
-      whose intra-tile coordinate spread exceeds the window.
+    * DIRECT (the dominant path): the tile's source rows fit a
+      _TGRP-aligned-group window and its columns a _CWIN-chunk window.
+      Each tap row is assembled *per pixel* with a fully-varying sublane
+      gather (``take_along_axis(block, y_rel % 8, axis=0)`` with the index
+      differing per lane — Mosaic supports this) plus an aligned-group
+      select, then the lane gather picks the tap columns. Unlike the
+      earlier t-window sweep this is insensitive to the tile's vertical
+      coordinate spread: sub-pixel jitter straddling integer rows costs
+      nothing extra (the sweep needed 3-4 masked row passes there and
+      measured 2.6x slower).
+    * SLOW fallback: dynamic row/chunk span loop, for tiles whose spread
+      exceeds the windows (arbitrary coords).
     """
     tx_ref, ty_ref = refs if save_tangents else (None, None)
     hp, wp = img_ref.shape[2], img_ref.shape[3]
-    kwin = min(_KWIN, hp)            # hp is a multiple of 8
     cwin = min(_CWIN, wp // _LANE)
-    # Diagonal fast path only pays when the image is taller than the
-    # legacy window (else the window already covers every row statically).
-    diag = hp > _KWIN and hp >= _TGRP * _SUB
-    subl = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 0)
+    ngrp = min(_TGRP, hp // _SUB)
+    win = ngrp * _SUB
 
     for t in range(_TPS):
         sl = slice(t * _SUB, (t + 1) * _SUB)
@@ -218,27 +215,43 @@ def _fwd_kernel(x_ref, y_ref, img_ref, out_ref, *refs, h, w, nch, mode,
         q0 = x0i // _LANE
         q1 = x1i // _LANE
 
-        ymin = jnp.min(y0i)
-        ymax = jnp.max(y1i)
         cminv = jnp.min(q0)
         cmaxv = jnp.max(q1)
-        cbase = jnp.clip(cminv, 0, wp // _LANE - cwin)
-        cfast = cmaxv - cbase < cwin
 
-        ybase = jnp.clip((ymin // _SUB) * _SUB, 0, hp - kwin)
-        legacy_ok = cfast & (ymax - ybase < kwin)
+        # Window base: align min source row down to an 8-row group. y0i is
+        # clipped to [0, h-1] in _tap_setup, so y0rel >= 0 always holds.
+        gb = jnp.clip((jnp.min(y0i) // _SUB) * _SUB, 0, hp - win)
+        y0rel = y0i - gb
+        y1rel = y1i - gb
+        row_ok = jnp.max(y1rel) < win
 
-        def _preload(gbase, ngrp):
+        # Chunk windows. The tap span of an identity-ish tile is ~130
+        # columns (128 lanes + the x1 tap + jitter), so whenever the tile
+        # straddles an aligned chunk boundary downward the span covers
+        # THREE aligned chunks — with symmetric coordinate noise that is
+        # the typical case, not the exception. A 3-chunk direct variant
+        # keeps those tiles off the dynamic-span slow path (which measured
+        # 2.5x slower end-to-end on +-0.2 px jitter).
+        nchunk = wp // _LANE
+        cbase2 = jnp.clip(cminv, 0, nchunk - cwin)
+        direct2_ok = row_ok & (cmaxv - cbase2 < cwin)
+        cwin3 = min(3, nchunk)
+        cbase3 = jnp.clip(cminv, 0, nchunk - cwin3)
+        direct3_ok = (row_ok & jnp.logical_not(direct2_ok)
+                      & (cmaxv - cbase3 < cwin3))
+        run_slow = jnp.logical_not(direct2_ok | direct3_ok)
+
+        def _preload(cbase, ncw, gbase, ngroups):
             blocks = {}
             chunk_w = []
-            for ci in range(cwin):
+            for ci in range(ncw):
                 c = cbase + ci
                 base = pl.multiple_of(c * _LANE, _LANE)
                 in0 = (q0 == c).astype(jnp.float32)
                 in1 = (q1 == c).astype(jnp.float32)
                 chunk_w.append((wx0 * in0, wx1 * in1,
                                 dvx0 * in0, dvx1 * in1))
-                for g in range(ngrp):
+                for g in range(ngroups):
                     row0 = pl.multiple_of(gbase + g * _SUB, _SUB)
                     for ch in range(nch):
                         blocks[ci, g, ch] = img_ref[
@@ -254,97 +267,52 @@ def _fwd_kernel(x_ref, y_ref, img_ref, out_ref, *refs, h, w, nch, mode,
 
         zero = jnp.zeros((_SUB, _LANE), jnp.float32)
 
-        if diag:
-            # DIAGONAL fast path (tier 1). For smooth warps the source row
-            # of an output pixel tracks its sublane with slope 1, so
-            # tr = y - sublane is nearly constant per tile: loop a
-            # _TWIN-value window of tr instead of _KWIN candidate rows.
-            # For a fixed tr, row = tr + sublane depends on the sublane
-            # only, so a per-pixel sublane gather with index
-            # (tr + s) % 8 over _TGRP aligned groups followed by the lane
-            # gather is exact. Tiles that miss the tr-window but fit the
-            # legacy 16-row window take the row sweep (tier 2); the rest
-            # take the dynamic-span loop (tier 3).
-            t0d = y0i - subl
-            t1d = y1i - subl
-            gb = jnp.clip((jnp.min(t0d) // _SUB) * _SUB, 0,
-                          hp - _TGRP * _SUB)
-            t0r = t0d - gb
-            t1r = t1d - gb
-            tb = jnp.min(t0r)
-            tmaxr = jnp.max(t1r)
-            diag_ok = (cfast & (tb >= 0) & (tmaxr - tb < _TWIN)
-                       & (tmaxr <= (_TGRP - 1) * _SUB))
-            run_legacy = jnp.logical_not(diag_ok) & legacy_ok
-            run_slow = jnp.logical_not(diag_ok) & jnp.logical_not(legacy_ok)
-
-            @pl.when(diag_ok)
-            def _diag_path():
-                blocks, chunk_w = _preload(gb, _TGRP)
-                accs = [zero] * nch
-                txs = [zero] * nch
-                tys = [zero] * nch
-                for dt in range(_TWIN):
-                    tr = tb + dt
-                    m0 = (t0r == tr).astype(jnp.float32)
-                    m1 = (t1r == tr).astype(jnp.float32)
-                    wk = wy0 * m0 + wy1 * m1
-                    if save_tangents:
-                        syk = m1 * dvy1 - m0 * dvy0
-                    srow = tr + subl
-                    sub_idx = jnp.remainder(srow, _SUB)
-                    gsel = srow // _SUB
-                    for ci in range(cwin):
-                        wx0c, wx1c, dv0c, dv1c = chunk_w[ci]
-                        for ch in range(nch):
-                            u = jnp.take_along_axis(
-                                blocks[ci, 0, ch], sub_idx, axis=0)
-                            for g in range(1, _TGRP):
-                                ug = jnp.take_along_axis(
-                                    blocks[ci, g, ch], sub_idx, axis=0)
-                                u = jnp.where(gsel == g, ug, u)
-                            g0 = jnp.take_along_axis(u, r0, axis=1)
-                            g1 = jnp.take_along_axis(u, r1, axis=1)
-                            t0 = wx0c * g0 + wx1c * g1
-                            accs[ch] = accs[ch] + wk * t0
-                            if save_tangents:
-                                txs[ch] = txs[ch] + wk * (dv1c * g1
-                                                          - dv0c * g0)
-                                tys[ch] = tys[ch] + syk * t0
-                _store(accs, txs, tys)
-        else:
-            run_legacy = legacy_ok
-            run_slow = jnp.logical_not(legacy_ok)
-
-        @pl.when(run_legacy)
-        def _legacy_path():
-            blocks, chunk_w = _preload(ybase, kwin // _SUB)
+        def _direct_path(cbase, ncw):
+            blocks, chunk_w = _preload(cbase, ncw, gb, ngrp)
+            sub0 = y0rel % _SUB     # shared gather index across groups
+            sub1 = y1rel % _SUB
+            gsel0 = y0rel // _SUB
+            gsel1 = y1rel // _SUB
             accs = [zero] * nch
             txs = [zero] * nch
             tys = [zero] * nch
-            for g in range(kwin // _SUB):
-                for r in range(_SUB):
-                    k = ybase + g * _SUB + r
-                    m0 = (y0i == k).astype(jnp.float32)
-                    m1 = (y1i == k).astype(jnp.float32)
-                    wk = wy0 * m0 + wy1 * m1
+            for ci in range(ncw):
+                wx0c, wx1c, dv0c, dv1c = chunk_w[ci]
+                for ch in range(nch):
+                    u0 = jnp.take_along_axis(blocks[ci, 0, ch], sub0,
+                                             axis=0)
+                    u1 = jnp.take_along_axis(blocks[ci, 0, ch], sub1,
+                                             axis=0)
+                    for g in range(1, ngrp):
+                        bg = blocks[ci, g, ch]
+                        u0 = jnp.where(
+                            gsel0 == g,
+                            jnp.take_along_axis(bg, sub0, axis=0), u0)
+                        u1 = jnp.where(
+                            gsel1 == g,
+                            jnp.take_along_axis(bg, sub1, axis=0), u1)
+                    g00 = jnp.take_along_axis(u0, r0, axis=1)
+                    g01 = jnp.take_along_axis(u0, r1, axis=1)
+                    g10 = jnp.take_along_axis(u1, r0, axis=1)
+                    g11 = jnp.take_along_axis(u1, r1, axis=1)
+                    row0 = wx0c * g00 + wx1c * g01
+                    row1 = wx0c * g10 + wx1c * g11
+                    accs[ch] = accs[ch] + wy0 * row0 + wy1 * row1
                     if save_tangents:
-                        syk = m1 * dvy1 - m0 * dvy0
-                    idxr = jnp.full((_SUB, _LANE), r, jnp.int32)
-                    for ci in range(cwin):
-                        wx0c, wx1c, dv0c, dv1c = chunk_w[ci]
-                        for ch in range(nch):
-                            tab = jnp.take_along_axis(
-                                blocks[ci, g, ch], idxr, axis=0)
-                            g0 = jnp.take_along_axis(tab, r0, axis=1)
-                            g1 = jnp.take_along_axis(tab, r1, axis=1)
-                            t0 = wx0c * g0 + wx1c * g1
-                            accs[ch] = accs[ch] + wk * t0
-                            if save_tangents:
-                                txs[ch] = txs[ch] + wk * (dv1c * g1
-                                                          - dv0c * g0)
-                                tys[ch] = tys[ch] + syk * t0
+                        txs[ch] = (txs[ch]
+                                   + wy0 * (dv1c * g01 - dv0c * g00)
+                                   + wy1 * (dv1c * g11 - dv0c * g10))
+                        tys[ch] = tys[ch] + dvy1 * row1 - dvy0 * row0
             _store(accs, txs, tys)
+
+        @pl.when(direct2_ok)
+        def _direct2():
+            _direct_path(cbase2, cwin)
+
+        if cwin3 > cwin:
+            @pl.when(direct3_ok)
+            def _direct3():
+                _direct_path(cbase3, cwin3)
 
         @pl.when(run_slow)
         def _slow_path():
@@ -374,32 +342,20 @@ def _fwd_kernel(x_ref, y_ref, img_ref, out_ref, *refs, h, w, nch, mode,
                     ty_ref[0, ch, sl] = tys[ch]
 
 
-def _block(a: Array) -> Array:
-    """(B, Hp, Wp) -> (B, Hp/8 * Wp/128 * 8, 128): each consecutive 8-row
-    group of the result is one 8x128 spatial block of the image, so a
-    kernel tile sees spatially-local coordinates (small row/chunk spans)
-    instead of a full-width raster strip."""
-    b, hp, wp = a.shape
-    a = a.reshape(b, hp // _SUB, _SUB, wp // _LANE, _LANE)
-    a = jnp.transpose(a, (0, 1, 3, 2, 4))
-    return a.reshape(b, hp * wp // _LANE, _LANE)
-
-
-def _unblock(a: Array, hp: int, wp: int) -> Array:
-    b = a.shape[0]
-    a = a.reshape(b, hp // _SUB, wp // _LANE, _SUB, _LANE)
-    a = jnp.transpose(a, (0, 1, 3, 2, 4))
-    return a.reshape(b, hp, wp)
-
-
 def _prep(imgs: Array, coords: Array):
-    """(B,H,W,C) imgs + (B,Ht,Wt,2) coords -> kernel operands + meta."""
+    """(B,H,W,C) imgs + (B,Ht,Wt,2) coords -> kernel operands + meta.
+
+    Coords stay in natural (B, Ht, Wt) plane layout: the kernel's 2D grid
+    (batch, 8-row band, lane chunk) tiles them directly via BlockSpec
+    index maps, so tiles see the same spatially-local 8x128 blocks the old
+    explicit `_block` relayout produced — without materializing the
+    blocked copies of coords and all output planes in XLA."""
     b, h, w, nch = imgs.shape
     _, ht, wt, _ = coords.shape
     wp = _round_up(w, _LANE)
     hp = _round_up(h, _SUB)   # aligned 8-row group loads in the kernel
     wtp = _round_up(wt, _LANE)
-    htp = _round_up(ht, _SUB)
+    htp = _round_up(ht, _SUB * _TPS)   # whole vertical bands per grid step
 
     planes = jnp.transpose(imgs, (0, 3, 1, 2)).astype(jnp.float32)
     planes = jnp.pad(planes, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
@@ -409,24 +365,17 @@ def _prep(imgs: Array, coords: Array):
     cf = jnp.pad(coords.astype(jnp.float32),
                  ((0, 0), (0, htp - ht), (0, wtp - wt), (0, 0)),
                  mode="edge")
-    xs = _block(cf[..., 0])
-    ys = _block(cf[..., 1])
-    step_rows = _SUB * _TPS
-    nrows = _round_up(xs.shape[1], step_rows)
-    if nrows != xs.shape[1]:
-        padr = ((0, 0), (0, nrows - xs.shape[1]), (0, 0))
-        xs = jnp.pad(xs, padr, mode="edge")
-        ys = jnp.pad(ys, padr, mode="edge")
-    return planes, xs, ys, (b, h, w, nch, ht, wt, htp, wtp)
+    return planes, cf[..., 0], cf[..., 1], (b, h, w, nch, ht, wt, htp, wtp)
 
 
 def _coord_spec():
-    return pl.BlockSpec((1, _SUB * _TPS, _LANE), lambda bi, t: (bi, t, 0),
+    return pl.BlockSpec((1, _SUB * _TPS, _LANE),
+                        lambda bi, hb, wb: (bi, hb, wb),
                         memory_space=pltpu.VMEM)
 
 
 def _img_spec(nch, h, wp):
-    return pl.BlockSpec((1, nch, h, wp), lambda bi, t: (bi, 0, 0, 0),
+    return pl.BlockSpec((1, nch, h, wp), lambda bi, hb, wb: (bi, 0, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -446,23 +395,19 @@ def _interpret() -> bool:
 
 
 def _to_nhwc(planes_out, b, nch, ht, wt, htp, wtp):
-    """Kernel output (B, nch, nrows, 128) -> (B, Ht, Wt, nch)."""
-    brows = htp * wtp // _LANE
-    a = _unblock(planes_out[:, :, :brows].reshape(b * nch, brows, _LANE),
-                 htp, wtp)
-    a = a.reshape(b, nch, htp, wtp)[:, :, :ht, :wt]
+    """Kernel output (B, nch, Htp, Wtp) -> (B, Ht, Wt, nch)."""
+    a = planes_out[:, :, :ht, :wt]
     return jnp.transpose(a, (0, 2, 3, 1))
 
 
 def _forward(imgs, coords, mode, save_tangents=False):
     planes, xs, ys, (b, h, w, nch, ht, wt, htp, wtp) = _prep(imgs, coords)
     hp, wp = planes.shape[2], planes.shape[3]
-    nrows = xs.shape[1]
-    grid = (b, nrows // (_SUB * _TPS))
+    grid = (b, htp // (_SUB * _TPS), wtp // _LANE)
     out_spec = pl.BlockSpec((1, nch, _SUB * _TPS, _LANE),
-                            lambda bi, t: (bi, 0, t, 0),
+                            lambda bi, hb, wb: (bi, 0, hb, wb),
                             memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((b, nch, nrows, _LANE), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((b, nch, htp, wtp), jnp.float32)
     n_out = 3 if save_tangents else 1
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel, h=h, w=w, nch=nch, mode=mode,
@@ -557,7 +502,7 @@ def _splat_kernel(x_ref, y_ref, v_ref, out_ref, *, h, w, nch, mode):
     kwin = min(_round_up(24, _SUB), hp)
     cwin = min(_CWIN, nchunk)
 
-    @pl.when(pl.program_id(1) == 0)
+    @pl.when((pl.program_id(1) == 0) & (pl.program_id(2) == 0))
     def _init():
         out_ref[...] = jnp.zeros(out_ref.shape, jnp.float32)
 
@@ -712,26 +657,21 @@ def _splat(coords, g, h, w, mode):
 
     gf = jnp.transpose(g.astype(jnp.float32), (0, 3, 1, 2))
     gf = jnp.pad(gf, ((0, 0), (0, 0), (0, htp - ht), (0, wtp - wt)))
-    gb = _block(gf.reshape(b * nch, htp, wtp))
-    nrows = xs.shape[1]
-    if gb.shape[1] != nrows:
-        gb = jnp.pad(gb, ((0, 0), (0, nrows - gb.shape[1]), (0, 0)))
-    gb = gb.reshape(b, nch, nrows, _LANE)
 
-    grid = (b, nrows // (_SUB * _TPS))
+    grid = (b, htp // (_SUB * _TPS), wtp // _LANE)
     out = pl.pallas_call(
         functools.partial(_splat_kernel, h=h, w=w, nch=nch, mode=mode),
         grid=grid,
         in_specs=[_coord_spec(), _coord_spec(),
                   pl.BlockSpec((1, nch, _SUB * _TPS, _LANE),
-                               lambda bi, t: (bi, 0, t, 0),
+                               lambda bi, hb, wb: (bi, 0, hb, wb),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, nch, hp, wp),
-                               lambda bi, t: (bi, 0, 0, 0),
+                               lambda bi, hb, wb: (bi, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, nch, hp, wp), jnp.float32),
         interpret=_interpret(),
-    )(xs, ys, gb)
+    )(xs, ys, gf)
     out = out[:, :, :h, :w]
     return jnp.transpose(out, (0, 2, 3, 1))
 

@@ -282,12 +282,15 @@ class DispNetS(nn.Module):
         c1, c2, c3, c4, c5, c6, c7 = feats
 
         def disp_head(h: Array) -> Array:
-            # f32 head: sigmoid disparity feeds 1/d — keep full precision.
-            # (A bf16 head conv was measured perf-neutral at batch 128 —
-            # XLA already fuses the casts — so fidelity wins.)
-            d = nn.Conv(1, (3, 3), padding="SAME", dtype=jnp.float32,
-                        kernel_init=_xavier)(h.astype(jnp.float32))
-            return self.alpha * nn.sigmoid(d) + self.beta
+            # Head conv in compute dtype (MXU accumulates f32 regardless);
+            # only the 1-channel sigmoid math runs in f32 so the 1/d depths
+            # feeding the warp stay well-conditioned. The earlier f32-input
+            # head materialized f32 copies of the 16-ch full-res feature
+            # maps and its fwd+bwd convs ran at 3-5 TFLOPS (XProf r2) —
+            # ~8 ms/step across scales at batch 128.
+            d = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype,
+                        kernel_init=_xavier)(h)
+            return self.alpha * nn.sigmoid(d.astype(jnp.float32)) + self.beta
 
         u7 = _crop_like(_UpConv(dp[0], self.dtype)(c7), c6)
         i7 = _IConv(dp[0], self.dtype)(jnp.concatenate([u7, c6], -1))
