@@ -174,172 +174,193 @@ _TGRP = 3             # aligned 8-row groups backing the direct-path window
                       # spread before the slow path kicks in)
 
 
-def _fwd_kernel(x_ref, y_ref, img_ref, out_ref, *refs, h, w, nch, mode,
-                save_tangents):
-    """Forward warp; with ``save_tangents`` also emits the coordinate
-    tangent planes from the *same* gathers (the gathers dominate, the extra
-    fmas are ~free):
-      Tx_ch = d out_ch/dx = wy0*(dvx1*I[y0,x1] - dvx0*I[y0,x0]) + wy1*(...)
-      Ty_ch = d out_ch/dy = dvy1*(x-blend at y1) - dvy0*(x-blend at y0)
-    which makes the VJP a pure-XLA elementwise contraction with the output
-    cotangent — no second gather pass.
+def _warp_tile(x, y, img_ref, h, w, nch, mode, save_tangents, store):
+    """Compute one (8, 128) output tile of the bilinear warp.
 
-    Two code paths per output tile, selected at runtime:
-    * DIRECT (the dominant path): the tile's source rows fit a
-      _TGRP-aligned-group window and its columns a _CWIN-chunk window.
-      Each tap row is assembled *per pixel* with a fully-varying sublane
-      gather (``take_along_axis(block, y_rel % 8, axis=0)`` with the index
-      differing per lane — Mosaic supports this) plus an aligned-group
-      select, then the lane gather picks the tap columns. Unlike the
-      earlier t-window sweep this is insensitive to the tile's vertical
-      coordinate spread: sub-pixel jitter straddling integer rows costs
-      nothing extra (the sweep needed 3-4 masked row passes there and
-      measured 2.6x slower).
-    * SLOW fallback: dynamic row/chunk span loop, for tiles whose spread
-      exceeds the windows (arbitrary coords).
+    ``x``/``y`` are the tile's f32 source coordinates, ``img_ref`` a
+    VMEM-resident (1, nch, hp, wp) source-plane ref. Calls
+    ``store(accs, txs, tys)`` exactly once on whichever runtime path the
+    tile selects (txs/tys are zero-filled unless ``save_tangents``).
+
+    The target is a true 2D gather out[s,l] = img[y0[s,l], x0[s,l]] that
+    does NOT decompose into a sublane gather followed by a lane gather
+    (the lane gather would read the row assembled for a *different*
+    pixel). Paths, selected per tile at runtime:
+
+    * ROWBAND (dominant): per output sublane s let ybar[s] = min_l y0[s,l].
+      When the per-sublane row spread is <= 1 (every smooth warp,
+      including sub-pixel jitter whose floor() straddles integer rows —
+      the case that made the earlier t-window sweep 2.6x slower), all
+      four taps live on rows {ybar, ybar+1, ybar+2}. Assemble those three
+      rows as *lane-uniform* tables (sublane gather with a per-sublane
+      index + aligned-group select — exact because the index is constant
+      along lanes), lane-gather each at the tap columns, and blend per
+      pixel with the delta = y - ybar masks. Runs in a 2- or 3-chunk
+      column window: an identity-ish tile's ~130-column tap span covers
+      THREE aligned chunks whenever it straddles a chunk boundary
+      downward — the typical case under symmetric jitter (previously fell
+      to the slow path: 42-77 ms -> ~20 ms per 256x128x416 warp).
+    * SLOW fallback: dynamic row/chunk span loop (arbitrary coords).
     """
-    tx_ref, ty_ref = refs if save_tangents else (None, None)
     hp, wp = img_ref.shape[2], img_ref.shape[3]
     cwin = min(_CWIN, wp // _LANE)
     ngrp = min(_TGRP, hp // _SUB)
     win = ngrp * _SUB
 
+    (x0i, x1i, y0i, y1i, wx0, wx1, wy0, wy1,
+     (dvx0, dvx1, dvy0, dvy1)) = _tap_setup(x, y, h, w, mode)
+    r0 = x0i % _LANE
+    r1 = x1i % _LANE
+    q0 = x0i // _LANE
+    q1 = x1i // _LANE
+
+    cminv = jnp.min(q0)
+    cmaxv = jnp.max(q1)
+
+    # Window base: align min source row down to an 8-row group. y0i is
+    # clipped to [0, h-1] in _tap_setup, so y0rel >= 0 always holds.
+    gb = jnp.clip((jnp.min(y0i) // _SUB) * _SUB, 0, hp - win)
+    ybar = jnp.min(y0i, axis=1, keepdims=True)      # per-sublane base row
+    d0 = y0i - jnp.broadcast_to(ybar, y0i.shape)    # 0/1 under spread_ok
+    d1 = y1i - jnp.broadcast_to(ybar, y0i.shape)    # 0/1/2 (clip at h-1)
+    spread_ok = jnp.max(d0) <= 1
+    row_ok = jnp.max(y1i) - gb < win
+
+    nchunk = wp // _LANE
+    cbase2 = jnp.clip(cminv, 0, nchunk - cwin)
+    band2_ok = spread_ok & row_ok & (cmaxv - cbase2 < cwin)
+    cwin3 = min(3, nchunk)
+    cbase3 = jnp.clip(cminv, 0, nchunk - cwin3)
+    band3_ok = (spread_ok & row_ok & jnp.logical_not(band2_ok)
+                & (cmaxv - cbase3 < cwin3))
+    run_slow = jnp.logical_not(band2_ok | band3_ok)
+
+    def _preload(cbase, ncw):
+        blocks = {}
+        chunk_w = []
+        for ci in range(ncw):
+            c = cbase + ci
+            base = pl.multiple_of(c * _LANE, _LANE)
+            in0 = (q0 == c).astype(jnp.float32)
+            in1 = (q1 == c).astype(jnp.float32)
+            chunk_w.append((wx0 * in0, wx1 * in1,
+                            dvx0 * in0, dvx1 * in1))
+            for g in range(ngrp):
+                row0 = pl.multiple_of(gb + g * _SUB, _SUB)
+                for ch in range(nch):
+                    blocks[ci, g, ch] = img_ref[
+                        0, ch, pl.ds(row0, _SUB), pl.ds(base, _LANE)]
+        return blocks, chunk_w
+
+    zero = jnp.zeros((_SUB, _LANE), jnp.float32)
+
+    def _band_path(cbase, ncw):
+        blocks, chunk_w = _preload(cbase, ncw)
+        # Lane-uniform sublane-gather indices for rows ybar+k (k=0,1,2).
+        # Row ybar+2 can sit one past the window for sublanes none of
+        # whose pixels select it (d1 == 2 implies that row is in-window
+        # via row_ok); the masked select discards the garbage lanes.
+        rels = [jnp.broadcast_to(ybar + k - gb, y0i.shape)
+                for k in range(3)]
+        subs = [rel % _SUB for rel in rels]
+        gsels = [rel // _SUB for rel in rels]
+        m0b = (d0 == 1).astype(jnp.float32)     # y0 tap on row ybar+1
+        m1b = (d1 == 1).astype(jnp.float32)
+        m1c = (d1 == 2).astype(jnp.float32)
+        accs = [zero] * nch
+        txs = [zero] * nch
+        tys = [zero] * nch
+        for ci in range(ncw):
+            wx0c, wx1c, dv0c, dv1c = chunk_w[ci]
+            for ch in range(nch):
+                rows = []
+                for k in range(3):
+                    u = jnp.take_along_axis(blocks[ci, 0, ch], subs[k],
+                                            axis=0)
+                    for g in range(1, ngrp):
+                        u = jnp.where(
+                            gsels[k] == g,
+                            jnp.take_along_axis(blocks[ci, g, ch],
+                                                subs[k], axis=0), u)
+                    rows.append(u)
+                a0 = jnp.take_along_axis(rows[0], r0, axis=1)
+                a1 = jnp.take_along_axis(rows[0], r1, axis=1)
+                b0 = jnp.take_along_axis(rows[1], r0, axis=1)
+                b1 = jnp.take_along_axis(rows[1], r1, axis=1)
+                c0 = jnp.take_along_axis(rows[2], r0, axis=1)
+                c1 = jnp.take_along_axis(rows[2], r1, axis=1)
+                g00 = a0 + m0b * (b0 - a0)
+                g01 = a1 + m0b * (b1 - a1)
+                g10 = a0 + m1b * (b0 - a0) + m1c * (c0 - a0)
+                g11 = a1 + m1b * (b1 - a1) + m1c * (c1 - a1)
+                row0 = wx0c * g00 + wx1c * g01
+                row1 = wx0c * g10 + wx1c * g11
+                accs[ch] = accs[ch] + wy0 * row0 + wy1 * row1
+                if save_tangents:
+                    txs[ch] = (txs[ch]
+                               + wy0 * (dv1c * g01 - dv0c * g00)
+                               + wy1 * (dv1c * g11 - dv0c * g10))
+                    tys[ch] = tys[ch] + dvy1 * row1 - dvy0 * row0
+        store(accs, txs, tys)
+
+    @pl.when(band2_ok)
+    def _band2():
+        _band_path(cbase2, cwin)
+
+    if cwin3 > cwin:
+        @pl.when(band3_ok)
+        def _band3():
+            _band_path(cbase3, cwin3)
+
+    @pl.when(run_slow)
+    def _slow_path():
+        def fold(carry, m_y0, m_y1, g0s, g1s):
+            accs, txs, tys = carry
+            wk = wy0 * m_y0 + wy1 * m_y1
+            accs = tuple(acc + wk * (wx0 * g0 + wx1 * g1)
+                         for acc, g0, g1 in zip(accs, g0s, g1s))
+            if save_tangents:
+                sy = (m_y1.astype(jnp.float32) * dvy1
+                      - m_y0.astype(jnp.float32) * dvy0)
+                txs = tuple(tx + wk * (dvx1 * g1 - dvx0 * g0)
+                            for tx, g0, g1 in zip(txs, g0s, g1s))
+                tys = tuple(ty + sy * (wx0 * g0 + wx1 * g1)
+                            for ty, g0, g1 in zip(tys, g0s, g1s))
+            return accs, txs, tys
+
+        zeros = tuple(jnp.zeros((_SUB, _LANE), jnp.float32)
+                      for _ in range(nch))
+        accs, txs, tys = _row_chunk_loop(
+            img_ref, nch, x0i, x1i, y0i, y1i, fold,
+            (zeros, zeros, zeros))
+        store(list(accs), list(txs), list(tys))
+
+
+def _fwd_kernel(x_ref, y_ref, img_ref, out_ref, *refs, h, w, nch, mode,
+                save_tangents):
+    """Forward warp over _TPS stacked tiles; with ``save_tangents`` also
+    emits the coordinate tangent planes from the *same* gathers (the
+    gathers dominate, the extra fmas are ~free):
+      Tx_ch = d out_ch/dx = wy0*(dvx1*I[y0,x1] - dvx0*I[y0,x0]) + wy1*(..)
+      Ty_ch = d out_ch/dy = dvy1*(x-blend at y1) - dvy0*(x-blend at y0)
+    which makes the VJP a pure-XLA elementwise contraction with the output
+    cotangent — no second gather pass. See :func:`_warp_tile`.
+    """
+    tx_ref, ty_ref = refs if save_tangents else (None, None)
+
     for t in range(_TPS):
         sl = slice(t * _SUB, (t + 1) * _SUB)
         x = x_ref[0, sl].astype(jnp.float32)
         y = y_ref[0, sl].astype(jnp.float32)
-        (x0i, x1i, y0i, y1i, wx0, wx1, wy0, wy1,
-         (dvx0, dvx1, dvy0, dvy1)) = _tap_setup(x, y, h, w, mode)
-        r0 = x0i % _LANE
-        r1 = x1i % _LANE
-        q0 = x0i // _LANE
-        q1 = x1i // _LANE
 
-        cminv = jnp.min(q0)
-        cmaxv = jnp.max(q1)
-
-        # Window base: align min source row down to an 8-row group. y0i is
-        # clipped to [0, h-1] in _tap_setup, so y0rel >= 0 always holds.
-        gb = jnp.clip((jnp.min(y0i) // _SUB) * _SUB, 0, hp - win)
-        y0rel = y0i - gb
-        y1rel = y1i - gb
-        row_ok = jnp.max(y1rel) < win
-
-        # Chunk windows. The tap span of an identity-ish tile is ~130
-        # columns (128 lanes + the x1 tap + jitter), so whenever the tile
-        # straddles an aligned chunk boundary downward the span covers
-        # THREE aligned chunks — with symmetric coordinate noise that is
-        # the typical case, not the exception. A 3-chunk direct variant
-        # keeps those tiles off the dynamic-span slow path (which measured
-        # 2.5x slower end-to-end on +-0.2 px jitter).
-        nchunk = wp // _LANE
-        cbase2 = jnp.clip(cminv, 0, nchunk - cwin)
-        direct2_ok = row_ok & (cmaxv - cbase2 < cwin)
-        cwin3 = min(3, nchunk)
-        cbase3 = jnp.clip(cminv, 0, nchunk - cwin3)
-        direct3_ok = (row_ok & jnp.logical_not(direct2_ok)
-                      & (cmaxv - cbase3 < cwin3))
-        run_slow = jnp.logical_not(direct2_ok | direct3_ok)
-
-        def _preload(cbase, ncw, gbase, ngroups):
-            blocks = {}
-            chunk_w = []
-            for ci in range(ncw):
-                c = cbase + ci
-                base = pl.multiple_of(c * _LANE, _LANE)
-                in0 = (q0 == c).astype(jnp.float32)
-                in1 = (q1 == c).astype(jnp.float32)
-                chunk_w.append((wx0 * in0, wx1 * in1,
-                                dvx0 * in0, dvx1 * in1))
-                for g in range(ngroups):
-                    row0 = pl.multiple_of(gbase + g * _SUB, _SUB)
-                    for ch in range(nch):
-                        blocks[ci, g, ch] = img_ref[
-                            0, ch, pl.ds(row0, _SUB), pl.ds(base, _LANE)]
-            return blocks, chunk_w
-
-        def _store(accs, txs, tys):
+        def store(accs, txs, tys, sl=sl):
             for ch in range(nch):
                 out_ref[0, ch, sl] = accs[ch]
                 if save_tangents:
                     tx_ref[0, ch, sl] = txs[ch]
                     ty_ref[0, ch, sl] = tys[ch]
 
-        zero = jnp.zeros((_SUB, _LANE), jnp.float32)
-
-        def _direct_path(cbase, ncw):
-            blocks, chunk_w = _preload(cbase, ncw, gb, ngrp)
-            sub0 = y0rel % _SUB     # shared gather index across groups
-            sub1 = y1rel % _SUB
-            gsel0 = y0rel // _SUB
-            gsel1 = y1rel // _SUB
-            accs = [zero] * nch
-            txs = [zero] * nch
-            tys = [zero] * nch
-            for ci in range(ncw):
-                wx0c, wx1c, dv0c, dv1c = chunk_w[ci]
-                for ch in range(nch):
-                    u0 = jnp.take_along_axis(blocks[ci, 0, ch], sub0,
-                                             axis=0)
-                    u1 = jnp.take_along_axis(blocks[ci, 0, ch], sub1,
-                                             axis=0)
-                    for g in range(1, ngrp):
-                        bg = blocks[ci, g, ch]
-                        u0 = jnp.where(
-                            gsel0 == g,
-                            jnp.take_along_axis(bg, sub0, axis=0), u0)
-                        u1 = jnp.where(
-                            gsel1 == g,
-                            jnp.take_along_axis(bg, sub1, axis=0), u1)
-                    g00 = jnp.take_along_axis(u0, r0, axis=1)
-                    g01 = jnp.take_along_axis(u0, r1, axis=1)
-                    g10 = jnp.take_along_axis(u1, r0, axis=1)
-                    g11 = jnp.take_along_axis(u1, r1, axis=1)
-                    row0 = wx0c * g00 + wx1c * g01
-                    row1 = wx0c * g10 + wx1c * g11
-                    accs[ch] = accs[ch] + wy0 * row0 + wy1 * row1
-                    if save_tangents:
-                        txs[ch] = (txs[ch]
-                                   + wy0 * (dv1c * g01 - dv0c * g00)
-                                   + wy1 * (dv1c * g11 - dv0c * g10))
-                        tys[ch] = tys[ch] + dvy1 * row1 - dvy0 * row0
-            _store(accs, txs, tys)
-
-        @pl.when(direct2_ok)
-        def _direct2():
-            _direct_path(cbase2, cwin)
-
-        if cwin3 > cwin:
-            @pl.when(direct3_ok)
-            def _direct3():
-                _direct_path(cbase3, cwin3)
-
-        @pl.when(run_slow)
-        def _slow_path():
-            def fold(carry, m_y0, m_y1, g0s, g1s):
-                accs, txs, tys = carry
-                wk = wy0 * m_y0 + wy1 * m_y1
-                accs = tuple(acc + wk * (wx0 * g0 + wx1 * g1)
-                             for acc, g0, g1 in zip(accs, g0s, g1s))
-                if save_tangents:
-                    sy = (m_y1.astype(jnp.float32) * dvy1
-                          - m_y0.astype(jnp.float32) * dvy0)
-                    txs = tuple(tx + wk * (dvx1 * g1 - dvx0 * g0)
-                                for tx, g0, g1 in zip(txs, g0s, g1s))
-                    tys = tuple(ty + sy * (wx0 * g0 + wx1 * g1)
-                                for ty, g0, g1 in zip(tys, g0s, g1s))
-                return accs, txs, tys
-
-            zeros = tuple(jnp.zeros((_SUB, _LANE), jnp.float32)
-                          for _ in range(nch))
-            accs, txs, tys = _row_chunk_loop(
-                img_ref, nch, x0i, x1i, y0i, y1i, fold,
-                (zeros, zeros, zeros))
-            for ch in range(nch):
-                out_ref[0, ch, sl] = accs[ch]
-                if save_tangents:
-                    tx_ref[0, ch, sl] = txs[ch]
-                    ty_ref[0, ch, sl] = tys[ch]
+        _warp_tile(x, y, img_ref, h, w, nch, mode, save_tangents, store)
 
 
 def _prep(imgs: Array, coords: Array):
