@@ -1,0 +1,265 @@
+"""Pallas TPU kernel: fused inverse-warp + photometric loss (+ gradient).
+
+The GeoNet stage-1 rigid-warp loss
+(`/root/reference/models/baseline.py:867-986,1061-1135`) is, per scale and
+direction:
+
+    warped = bilinear_sampler(src, coords)          # hand-rolled sampler
+    err    = alpha * DSSIM(tgt, warped) + (1-alpha) * |tgt - warped|
+    loss  += w * mean(err)
+
+Split across ops, every step materializes the warped image, two tangent
+planes, the DSSIM map, the |.| map, their adjoints and the tangent
+contraction — ~10 HBM round-trips of full-resolution f32 planes per scale
+and direction (XProf r2: ~25-35 ms/step of reduce_sum/mul/neg/div/copy
+glue around the warp and dssim kernels at batch 128).
+
+This kernel computes the WHOLE thing — warp, DSSIM, L1, masked partial
+sums, and (because the downstream cotangent of a summed loss is a
+*scalar*) the complete coordinate gradient — in one VMEM pass per batch
+image. The custom VJP just scales the saved gradient plane by the
+incoming scalar cotangent: backward costs zero kernel launches.
+
+Semantics (all f32, matching the split ops exactly):
+* warp: :func:`sndepth_tpu.kernels.warp._warp_tile` (edge_zero or
+  zero_pad mode, same tap/weight math as `ops/warp.py`).
+* DSSIM: 3x3/9 zero-padded average pools, C1=1e-4, C2=9e-4,
+  clip((1-SSIM)/2, 0, 1) — `ops/ssim.py` / reference
+  `utils_edited.py:121-141`; adjoint uses the same clip tie-splitting as
+  XLA autodiff (0.5 exactly at the 0/1 boundaries).
+* Gradients flow to ``coords`` ONLY. ``tgt``/``src`` receive zeros: at
+  the stage-1 call sites both are input images (leaves), so their
+  cotangents are dead. Do NOT use this op where the images are computed
+  tensors that need gradients (stage-2 full-flow losses keep the split
+  ops for exactly that reason).
+
+Returns the SUM over in-image pixels and channels; callers divide by the
+element count to get the reference's mean.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sndepth_tpu.kernels.warp import (_LANE, _SUB, _round_up, _warp_tile)
+
+Array = jax.Array
+
+_C1 = 0.01 ** 2
+_C2 = 0.03 ** 2
+
+# Force with SNDEPTH_PHOTO_BACKEND=fused|split (auto: fused on TPU when
+# the plane fits VMEM).
+_BACKEND = os.environ.get("SNDEPTH_PHOTO_BACKEND", "auto")
+
+
+def _pool3(pbuf, val, h, w):
+    """3x3/9 zero-padded average pool via one (h+2, w+2) scratch buffer,
+    separable (3 sublane-shift adds + 3 lane-shift adds)."""
+    pbuf[:] = jnp.zeros((h + 2, w + 2), jnp.float32)
+    pbuf[1:h + 1, 1:w + 1] = val
+    col = pbuf[0:h, :] + pbuf[1:h + 1, :] + pbuf[2:h + 2, :]
+    return (col[:, 0:w] + col[:, 1:w + 1] + col[:, 2:w + 2]) / 9.0
+
+
+def _kernel(x_ref, y_ref, src_ref, tgt_ref, loss_ref, dx_ref, dy_ref,
+            wbuf, txbuf, tybuf, pbuf, *, h, w, ht, wt, nch, mode, alpha,
+            need_grad):
+    """One grid step = one batch image: warp all tiles into VMEM scratch,
+    then the full loss + analytic coordinate gradient on the planes."""
+    htp, wtp = x_ref.shape[1], x_ref.shape[2]
+    ncol = wtp // _LANE
+    ntile = (htp // _SUB) * ncol
+
+    def tile_body(i, _):
+        ro = pl.multiple_of((i // ncol) * _SUB, _SUB)
+        co = pl.multiple_of((i % ncol) * _LANE, _LANE)
+        x = x_ref[0, pl.ds(ro, _SUB), pl.ds(co, _LANE)]
+        y = y_ref[0, pl.ds(ro, _SUB), pl.ds(co, _LANE)]
+
+        def store(accs, txs, tys):
+            for ch in range(nch):
+                wbuf[ch, pl.ds(ro, _SUB), pl.ds(co, _LANE)] = accs[ch]
+                if need_grad:
+                    txbuf[ch, pl.ds(ro, _SUB), pl.ds(co, _LANE)] = txs[ch]
+                    tybuf[ch, pl.ds(ro, _SUB), pl.ds(co, _LANE)] = tys[ch]
+
+        _warp_tile(x, y, src_ref, h, w, nch, mode,
+                   save_tangents=need_grad, store=store)
+        return 0
+
+    jax.lax.fori_loop(0, ntile, tile_body, 0)
+
+    # In-image mask (pyramid heights are 8-aligned so only columns pad).
+    mask = (jax.lax.broadcasted_iota(jnp.int32, (htp, wtp), 1)
+            < wt).astype(jnp.float32)
+    if ht < htp:
+        mask = mask * (jax.lax.broadcasted_iota(jnp.int32, (htp, wtp), 0)
+                       < ht).astype(jnp.float32)
+
+    loss_part = jnp.zeros((_SUB, _LANE), jnp.float32)
+    if need_grad:
+        dx_acc = jnp.zeros((htp, wtp), jnp.float32)
+        dy_acc = jnp.zeros((htp, wtp), jnp.float32)
+
+    for ch in range(nch):
+        x = tgt_ref[0, ch]                       # zero-padded
+        y = wbuf[ch] * mask                      # zero the pad region
+
+        mu_x = _pool3(pbuf, x, htp, wtp)
+        mu_y = _pool3(pbuf, y, htp, wtp)
+        sigma_x = _pool3(pbuf, x * x, htp, wtp) - mu_x * mu_x
+        sigma_y = _pool3(pbuf, y * y, htp, wtp) - mu_y * mu_y
+        sigma_xy = _pool3(pbuf, x * y, htp, wtp) - mu_x * mu_y
+
+        t1 = 2.0 * sigma_xy + _C2
+        t2 = 2.0 * mu_x * mu_y + _C1
+        t3 = sigma_x + sigma_y + _C2
+        t4 = mu_x * mu_x + mu_y * mu_y + _C1
+        n = t2 * t1
+        d = t4 * t3
+        s = 0.5 * (1.0 - n / d)
+        dssim_map = jnp.clip(s, 0.0, 1.0)
+        diff = x - y
+        err = (alpha * dssim_map + (1.0 - alpha) * jnp.abs(diff)) * mask
+        loss_part = loss_part + err.reshape(
+            htp // _SUB, _SUB, wtp // _LANE, _LANE).sum(axis=(0, 2))
+
+        if need_grad:
+            # DSSIM adjoint w.r.t. y with per-pixel cotangent = mask
+            # (pad-column outputs don't exist in the reference loss, so
+            # no cotangent may flow back from them into edge pixels).
+            lo = (0.5 * ((s > 0.0).astype(jnp.float32)
+                         + (s >= 0.0).astype(jnp.float32)))
+            hi = (0.5 * ((s < 1.0).astype(jnp.float32)
+                         + (s <= 1.0).astype(jnp.float32)))
+            gp = mask * lo * hi
+            inv_d = 1.0 / d
+            a_n = -0.5 * gp * inv_d
+            a_d = 0.5 * gp * n * inv_d * inv_d
+            c1 = 2.0 * a_n * (t1 - t2)
+            c2 = 2.0 * a_d * (t3 - t4)
+            pa_y = _pool3(pbuf, mu_x * c1 + mu_y * c2, htp, wtp)
+            pb_xx = _pool3(pbuf, a_d * t4, htp, wtp)
+            pb_xy = _pool3(pbuf, 2.0 * a_n * t2, htp, wtp)
+            d_ssim = pa_y + 2.0 * y * pb_xx + x * pb_xy
+            d_l1 = -jnp.sign(diff) * mask
+            dw = alpha * d_ssim + (1.0 - alpha) * d_l1
+            dx_acc = dx_acc + dw * txbuf[ch] * mask
+            dy_acc = dy_acc + dw * tybuf[ch] * mask
+
+    loss_ref[0] = loss_part
+    if need_grad:
+        dx_ref[0] = dx_acc
+        dy_ref[0] = dy_acc
+
+
+def _prep(tgt: Array, src: Array, coords: Array):
+    b, h, w, nch = src.shape
+    _, ht, wt, _ = tgt.shape
+    wp = _round_up(w, _LANE)
+    hp = _round_up(h, _SUB)
+    wtp = _round_up(wt, _LANE)
+    htp = _round_up(ht, _SUB)
+
+    src_p = jnp.transpose(src, (0, 3, 1, 2)).astype(jnp.float32)
+    src_p = jnp.pad(src_p, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
+    tgt_p = jnp.transpose(tgt, (0, 3, 1, 2)).astype(jnp.float32)
+    tgt_p = jnp.pad(tgt_p, ((0, 0), (0, 0), (0, htp - ht), (0, wtp - wt)))
+    cf = jnp.pad(coords.astype(jnp.float32),
+                 ((0, 0), (0, htp - ht), (0, wtp - wt), (0, 0)),
+                 mode="edge")
+    return src_p, tgt_p, cf[..., 0], cf[..., 1], (b, h, w, nch, ht, wt,
+                                                  htp, wtp)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _run(tgt, src, coords, alpha, mode, need_grad):
+    src_p, tgt_p, xs, ys, (b, h, w, nch, ht, wt, htp, wtp) = _prep(
+        tgt, src, coords)
+    hp, wp = src_p.shape[2], src_p.shape[3]
+    grid = (b,)
+    cspec = pl.BlockSpec((1, htp, wtp), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_kernel, h=h, w=w, ht=ht, wt=wt, nch=nch,
+                          mode=mode, alpha=float(alpha),
+                          need_grad=need_grad),
+        grid=grid,
+        in_specs=[cspec, cspec,
+                  pl.BlockSpec((1, nch, hp, wp), lambda bi: (bi, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, nch, htp, wtp),
+                               lambda bi: (bi, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((1, _SUB, _LANE), lambda bi: (bi, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   cspec, cspec),
+        out_shape=(jax.ShapeDtypeStruct((b, _SUB, _LANE), jnp.float32),
+                   jax.ShapeDtypeStruct((b, htp, wtp), jnp.float32),
+                   jax.ShapeDtypeStruct((b, htp, wtp), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((nch, htp, wtp), jnp.float32),
+                        pltpu.VMEM((nch, htp, wtp), jnp.float32),
+                        pltpu.VMEM((nch, htp, wtp), jnp.float32),
+                        pltpu.VMEM((htp + 2, wtp + 2), jnp.float32)],
+        interpret=_interpret(),
+    )(xs, ys, src_p, tgt_p)
+    loss_part, dxp, dyp = outs
+    loss = jnp.sum(loss_part)
+    if not need_grad:
+        return loss, None
+    d_coords = jnp.stack([dxp[:, :ht, :wt], dyp[:, :ht, :wt]],
+                         axis=-1).astype(coords.dtype)
+    return loss, d_coords
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def warp_photo_loss(tgt: Array, src: Array, coords: Array,
+                    alpha: float, mode: str = "edge_zero") -> Array:
+    """sum(alpha*DSSIM(tgt, warp(src, coords)) + (1-alpha)*|tgt - warp|).
+
+    Fused Pallas forward + analytic coordinate gradient. Gradients flow
+    to ``coords`` only (tgt/src are treated as data — see module doc)."""
+    return _run(tgt, src, coords, alpha, mode, need_grad=False)[0]
+
+
+def _fwd(tgt, src, coords, alpha, mode):
+    loss, d_coords = _run(tgt, src, coords, alpha, mode, need_grad=True)
+    return loss, (d_coords, tgt, src)
+
+
+def _bwd(alpha, mode, res, g):
+    d_coords, tgt, src = res
+    return (jnp.zeros_like(tgt), jnp.zeros_like(src),
+            g * d_coords)
+
+
+warp_photo_loss.defvjp(_fwd, _bwd)
+
+
+def fused_ok(tgt: Array) -> bool:
+    """Dispatch gate: fused kernel on TPU for plane sizes that fit the
+    VMEM budget (SNDEPTH_PHOTO_BACKEND=fused forces it through the
+    interpreter on CPU for tests; =split disables)."""
+    if _BACKEND == "split":
+        return False
+    if _BACKEND != "fused" and \
+            jax.default_backend() not in ("tpu", "axon"):
+        return False
+    ht, wt, nch = tgt.shape[1], tgt.shape[2], tgt.shape[3]
+    if ht % _SUB:
+        return False            # pool row-padding not handled (unused)
+    plane = ht * _round_up(wt, _LANE) * 4
+    # ~17 resident planes (coords+src+tgt+3 scratch sets+grads) + pbuf.
+    if plane * (4 * nch + 5) > 24 * 1024 * 1024:
+        return False
+    return True

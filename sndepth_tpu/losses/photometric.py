@@ -22,6 +22,13 @@ def smooth_loss(depth: Array, image: Array) -> Array:
     down-weighted where the image has strong gradients
     (`loss_functions.py:8-24`).
     """
+    from sndepth_tpu.kernels import smooth_loss as _fused
+    if _fused.fused_ok(depth):
+        # One-VMEM-pass Pallas kernel incl. the analytic depth gradient
+        # (kernels/smooth_loss.py; image gets no gradient — it is data
+        # at every call site, as in the reference). Parity-tested.
+        return _fused.smooth_loss_fused(depth, image)
+
     g_depth_x = gradient_x(depth)
     g_depth_y = gradient_y(depth)
     g_img_x = gradient_x(image)

@@ -25,9 +25,11 @@ from typing import Any
 import flax
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from sndepth_tpu.core.config import GeoNetConfig
+from sndepth_tpu.kernels import photo_loss
 from sndepth_tpu.losses.photometric import smooth_loss
 from sndepth_tpu.models.dispnet import DispNetS
 from sndepth_tpu.models.posenet import PoseNet
@@ -177,22 +179,43 @@ def geonet_loss(params: dict, batch: dict, config: GeoNetConfig
         fwd_flow = compute_rigid_flow(poses_flat, tgt_depth, k_s, False)
         bwd_flow = compute_rigid_flow(poses_flat, src_depth, k_s, True)
 
-        fwd_warp = flow_warp(src_s, fwd_flow)
-        bwd_warp = flow_warp(tgt_s, bwd_flow)
+        # Stage 1 takes the fused Pallas warp+DSSIM+L1+gradient kernel —
+        # one VMEM pass per image per direction replaces the warped /
+        # tangent / error-map / adjoint HBM round-trips of the split ops
+        # (kernels/photo_loss.py; both paths are tested equal). Stage 2
+        # (train_flow) needs the warped images and error maps as FlowNet
+        # inputs, so it keeps the split ops.
+        if not cfg.train_flow and photo_loss.fused_ok(tgt_s):
+            hs, ws = tgt_s.shape[1], tgt_s.shape[2]
+            gx = jnp.arange(ws, dtype=jnp.float32)
+            gy = jnp.arange(hs, dtype=jnp.float32)
+            grid = jnp.stack(
+                [jnp.broadcast_to(gx[None, :], (hs, ws)),
+                 jnp.broadcast_to(gy[:, None], (hs, ws))], axis=-1)[None]
+            fwd_sum = photo_loss.warp_photo_loss(
+                tgt_s, src_s, grid + fwd_flow, cfg.simi_alpha)
+            bwd_sum = photo_loss.warp_photo_loss(
+                src_s, tgt_s, grid + bwd_flow, cfg.simi_alpha)
+            denom = float(np.prod(tgt_s.shape))
+            loss_rigid_warp += (cfg.loss_weight_rigid_warp * ns / 2.0 *
+                                (fwd_sum + bwd_sum) / denom)
+        else:
+            fwd_warp = flow_warp(src_s, fwd_flow)
+            bwd_warp = flow_warp(tgt_s, bwd_flow)
 
-        fwd_err = image_similarity(cfg.simi_alpha, tgt_s, fwd_warp)
-        bwd_err = image_similarity(cfg.simi_alpha, src_s, bwd_warp)
+            fwd_err = image_similarity(cfg.simi_alpha, tgt_s, fwd_warp)
+            bwd_err = image_similarity(cfg.simi_alpha, src_s, bwd_warp)
 
-        loss_rigid_warp += (cfg.loss_weight_rigid_warp * ns / 2.0 *
-                            (jnp.mean(fwd_err) + jnp.mean(bwd_err)))
+            loss_rigid_warp += (cfg.loss_weight_rigid_warp * ns / 2.0 *
+                                (jnp.mean(fwd_err) + jnp.mean(bwd_err)))
+            fwd_warps.append(fwd_warp)
+            fwd_errs.append(fwd_err)
 
         depth_flat = depths[s].reshape((b * nv,) + depths[s].shape[2:])
         loss_disp_smooth += (cfg.loss_weight_disparity_smooth / (2 ** s) *
                              smooth_loss(depth_flat[..., None], views_pyr[s]))
         fwd_flows.append(fwd_flow)
         bwd_flows.append(bwd_flow)
-        fwd_warps.append(fwd_warp)
-        fwd_errs.append(fwd_err)
         tgt_tile_pyr.append(tgt_s)
         src_pyr.append(src_s)
 

@@ -1,0 +1,120 @@
+"""Fused warp+photometric-loss kernel vs the split XLA ops (interpreter).
+
+The fused kernel (`sndepth_tpu/kernels/photo_loss.py`) must match
+``sum(alpha*dssim(tgt, warp(src, coords)) + (1-alpha)*|tgt - warp|)`` and
+its coordinate gradient, for both sampler modes, including image-edge
+pooling and out-of-image coordinates.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sndepth_tpu.kernels.photo_loss import warp_photo_loss
+from sndepth_tpu.ops.ssim import dssim
+from sndepth_tpu.ops.warp import (bilinear_sampler,
+                                  bilinear_sampler_zero_pad)
+
+_REF = {"edge_zero": bilinear_sampler, "zero_pad": bilinear_sampler_zero_pad}
+ALPHA = 0.85
+
+
+def _ref_loss(tgt, src, coords, mode):
+    warped = _REF[mode](src, coords)
+    return jnp.sum(ALPHA * dssim(tgt, warped)
+                   + (1.0 - ALPHA) * jnp.abs(tgt - warped))
+
+
+def _case(seed, b=2, h=16, w=52, c=3, spread=1.5):
+    rng = np.random.RandomState(seed)
+    tgt = jnp.asarray(rng.rand(b, h, w, c) * 2 - 1, jnp.float32)
+    src = jnp.asarray(rng.rand(b, h, w, c) * 2 - 1, jnp.float32)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    grid = np.stack([xs, ys], -1)[None].repeat(b, 0)
+    coords = jnp.asarray(
+        grid + rng.uniform(-spread, spread, grid.shape), jnp.float32)
+    return tgt, src, coords
+
+
+@pytest.mark.parametrize("mode", ["edge_zero", "zero_pad"])
+def test_loss_value_matches_split_ops(mode):
+    tgt, src, coords = _case(0)
+    got = float(warp_photo_loss(tgt, src, coords, ALPHA, mode))
+    want = float(_ref_loss(tgt, src, coords, mode))
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+
+
+@pytest.mark.parametrize("mode", ["edge_zero", "zero_pad"])
+def test_coord_gradients_match_split_ops(mode):
+    tgt, src, coords = _case(1)
+    g_f = jax.grad(
+        lambda cc: 0.37 * warp_photo_loss(tgt, src, cc, ALPHA, mode)
+    )(coords)
+    g_r = jax.grad(lambda cc: 0.37 * _ref_loss(tgt, src, cc, mode))(coords)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_r),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_out_of_image_coords_and_wild_spread():
+    # Wild coords exercise the slow warp path and the OOB weight masking.
+    tgt, src, coords = _case(2, h=16, w=40, spread=30.0)
+    got = float(warp_photo_loss(tgt, src, coords, ALPHA, "edge_zero"))
+    want = float(_ref_loss(tgt, src, coords, "edge_zero"))
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+    g_f = jax.grad(
+        lambda cc: warp_photo_loss(tgt, src, cc, ALPHA, "edge_zero")
+    )(coords)
+    g_r = jax.grad(lambda cc: _ref_loss(tgt, src, cc, "edge_zero"))(coords)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_r),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_lane_padded_width_edge_pooling():
+    # w=52 pads to 128 lanes: the pad columns must contribute neither
+    # value nor gradient (the reference loss has no outputs there), and
+    # pooling at the true right edge must see zero padding exactly like
+    # the reference's zero-padded 3x3 pool.
+    tgt, src, coords = _case(3, b=1, h=8, w=52, spread=0.7)
+    got = float(warp_photo_loss(tgt, src, coords, ALPHA, "edge_zero"))
+    want = float(_ref_loss(tgt, src, coords, "edge_zero"))
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+    g_f = jax.grad(
+        lambda cc: warp_photo_loss(tgt, src, cc, ALPHA, "edge_zero")
+    )(coords)
+    g_r = jax.grad(lambda cc: _ref_loss(tgt, src, cc, "edge_zero"))(coords)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_r),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_geonet_stage1_loss_matches_split(monkeypatch):
+    """End-to-end: the stage-1 GeoNet loss with the fused kernel equals
+    the split-ops loss (tiny config, interpreter on CPU)."""
+    import numpy as np
+    from sndepth_tpu.core.config import GeoNetConfig
+    from sndepth_tpu.kernels import photo_loss as pk
+    from sndepth_tpu.train import geonet
+
+    config = GeoNetConfig(batch_size=2, img_height=16, img_width=52,
+                          num_scales=2)
+    rng = np.random.RandomState(0)
+    h, w = config.img_height, config.img_width
+    batch = {
+        "tgt": jnp.asarray(rng.randint(0, 256, (2, h, w, 3), dtype=np.uint8)),
+        "src": jnp.asarray(rng.randint(0, 256, (2, h, w, 6), dtype=np.uint8)),
+        "intrinsics": jnp.asarray(np.tile(
+            np.array([[[30.0, 0, 26.0], [0, 30.0, 8.0], [0, 0, 1]]],
+                     np.float32), (2, 1, 1))),
+    }
+    params = geonet.init_params(jax.random.PRNGKey(0), config)
+    pb = geonet.preprocess_batch(batch)
+
+    monkeypatch.setattr(pk, "_BACKEND", "split")
+    _, aux_split = geonet.geonet_loss(params, pb, config)
+    monkeypatch.setattr(pk, "_BACKEND", "fused")
+    _, aux_fused = geonet.geonet_loss(params, pb, config)
+    np.testing.assert_allclose(float(aux_fused["loss_rigid_warp"]),
+                               float(aux_split["loss_rigid_warp"]),
+                               rtol=3e-5)
+    np.testing.assert_allclose(float(aux_fused["loss_total"]),
+                               float(aux_split["loss_total"]), rtol=3e-5)
