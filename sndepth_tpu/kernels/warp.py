@@ -348,12 +348,17 @@ def _fwd_kernel(x_ref, y_ref, img_ref, out_ref, *refs, h, w, nch, mode,
     """
     tx_ref, ty_ref = refs if save_tangents else (None, None)
 
-    for t in range(_TPS):
-        sl = slice(t * _SUB, (t + 1) * _SUB)
+    # Dynamic loop over the _TPS stacked tiles: one Mosaic tile body
+    # instead of _TPS unrolled copies (the tile body is ~hundreds of
+    # vector ops, so the scalar loop overhead is noise while compile
+    # time and code size drop ~8x).
+    def tile_body(t, _):
+        ro = pl.multiple_of(t * _SUB, _SUB)
+        sl = pl.ds(ro, _SUB)
         x = x_ref[0, sl].astype(jnp.float32)
         y = y_ref[0, sl].astype(jnp.float32)
 
-        def store(accs, txs, tys, sl=sl):
+        def store(accs, txs, tys):
             for ch in range(nch):
                 out_ref[0, ch, sl] = accs[ch]
                 if save_tangents:
@@ -361,6 +366,9 @@ def _fwd_kernel(x_ref, y_ref, img_ref, out_ref, *refs, h, w, nch, mode,
                     ty_ref[0, ch, sl] = tys[ch]
 
         _warp_tile(x, y, img_ref, h, w, nch, mode, save_tangents, store)
+        return 0
+
+    jax.lax.fori_loop(0, _TPS, tile_body, 0)
 
 
 def _prep(imgs: Array, coords: Array):
