@@ -544,8 +544,8 @@ def _splat_kernel(x_ref, y_ref, v_ref, out_ref, *, h, w, nch, mode):
         return jnp.broadcast_to(total, (_SUB, _LANE)) * (
             subl == r).astype(jnp.float32)
 
-    for t in range(_TPS):
-        sl = slice(t * _SUB, (t + 1) * _SUB)
+    def tile_body(t, _ignored):
+        sl = pl.ds(pl.multiple_of(t * _SUB, _SUB), _SUB)
         x = x_ref[0, sl].astype(jnp.float32)
         y = y_ref[0, sl].astype(jnp.float32)
         (x0i, x1i, y0i, y1i, wx0, wx1, wy0, wy1, _) = _tap_setup(
@@ -674,6 +674,10 @@ def _splat_kernel(x_ref, y_ref, v_ref, out_ref, *, h, w, nch, mode):
                 return jax.lax.fori_loop(cminv, cmaxv + 1, chunk_body, 0)
 
             jax.lax.fori_loop(ymin, ymax + 1, row_body, 0)
+
+        return 0
+
+    jax.lax.fori_loop(0, _TPS, tile_body, 0)
 
 
 def _splat(coords, g, h, w, mode):
