@@ -6,9 +6,12 @@ Re-design of `/root/reference/models/register_module/track_loss.py` and
 * focal loss (gamma=2, alpha=0.25) and weighted L1 over normalized boxes;
 * assignment cost = focal-style cls cost + L1 box cost
   (`hungarian_assigner_3d_track.py:14-122`, `match_cost.py:7-30`);
-* Hungarian solve via ``scipy.optimize.linear_sum_assignment`` behind
-  ``jax.pure_callback`` (fixed-size cost in, fixed-size assignment out, so
-  it composes with jit), exactly as the reference calls scipy;
+* assignment solve: on-device auction LAP (:mod:`sndepth_tpu.losses.lap`)
+  by default — no host sync inside the jitted train step; set
+  ``SNDEPTH_LAP_BACKEND=scipy`` for the reference-identical
+  ``scipy.optimize.linear_sum_assignment`` behind ``jax.pure_callback``
+  (fixed-size cost in, fixed-size assignment out, so it composes with
+  jit), exactly as the reference calls scipy;
 * ClipMatcher: per-frame matching against GT with already-tracked objects
   pinned to their slots, num-boxes normalization via ``psum`` when running
   under pmap/pjit (the reference's ``get_world_size`` normalization,
@@ -17,11 +20,15 @@ Re-design of `/root/reference/models/register_module/track_loss.py` and
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 Array = jax.Array
+
+_LAP_BACKEND = os.environ.get("SNDEPTH_LAP_BACKEND", "auction")
 
 
 def sigmoid_focal_loss(logits: Array, targets: Array, alpha: float = 0.25,
@@ -66,8 +73,19 @@ def hungarian_match(cost: Array, valid_cols: Array) -> tuple[Array, Array]:
     Invalid columns get +inf-ish cost and are excluded on the host.
     Returns (row_idx, col_idx) each (ng_max,) with -1 padding: the query
     assigned to each GT column (or -1).
+
+    Backend: ``SNDEPTH_LAP_BACKEND=auction`` (default, on-device
+    eps-scaled auction — within ng*1e-3 of optimal, no host callback) or
+    ``scipy`` (exact Hungarian on host via pure_callback).
     """
     nq, ng = cost.shape
+
+    if _LAP_BACKEND != "scipy":
+        from sndepth_tpu.losses.lap import auction_lap
+        rows = auction_lap(jax.lax.stop_gradient(cost),
+                           jax.lax.stop_gradient(valid_cols))
+        cols = jnp.where(rows >= 0, jnp.arange(ng, dtype=jnp.int32), -1)
+        return rows, cols
 
     def _solve(c, v):
         from scipy.optimize import linear_sum_assignment
