@@ -19,6 +19,7 @@ TPU-first design notes:
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -72,6 +73,61 @@ def _s2d_tap_map(kernel: int) -> tuple[int, int, "np.ndarray", "np.ndarray"]:
     return ks, pad, u_idx, u_idx.copy()
 
 
+def _fold_conv(x: Array, w: Array, dtype: Any) -> Array:
+    """Stride-1 KxK 'same' zero-pad conv with 2x2 space-to-depth-packed
+    output.
+
+    Folds the space-to-depth of the *output* into the conv itself:
+    ``out[i, j, (a, b, co)] = y[2i+a, 2j+b, co]`` is a stride-2 conv over
+    the original x whose (a, b) output-channel block is w zero-padded by
+    (a, 2-a)/(b, 2-b) — no input layout copy. Returns (B, H/2, W/2,
+    4*Cout); ``_depth_to_space`` of it equals the direct conv output.
+    """
+    P = (w.shape[0] - 1) // 2
+    wd = w.astype(dtype)
+    k10 = jnp.concatenate(
+        [jnp.pad(wd, ((a, 2 - a), (b, 2 - b), (0, 0), (0, 0)))
+         for a in (0, 1) for b in (0, 1)], axis=-1)
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype), k10, (2, 2),
+        ((P, P + 1), (P, P + 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _s2d_conv(x: Array, w: Array, bias: Array, dtype: Any) -> Array:
+    """'same' KxK conv == nn.Conv(Cout, (K, K), padding=P), evaluated with
+    space-to-depth-packed output and custom lane-packed gradients."""
+    return _depth_to_space(_fold_conv(x, w, dtype)) + bias.astype(dtype)
+
+
+def _s2d_conv_fwd(x, w, bias, dtype):
+    return _s2d_conv(x, w, bias, dtype), (x, w, bias)
+
+
+def _s2d_conv_bwd(dtype, res, dy):
+    x, w, bias = res
+    # dx: the data-grad is itself a 'same' KxK conv (dy against the
+    # spatially-flipped, in/out-transposed kernel) — evaluate it in the
+    # same packed-output form so its MXU lanes are 4*Cin instead of Cin.
+    # The direct conv-transpose XLA autodiff emits for the folded forward
+    # is among the most lane-starved ops in the train step (e.g. level 0's
+    # (9,9,32,128) -> 64x208x32 at 25% lane occupancy, ~848 GFLOP).
+    wt = jnp.flip(w, (0, 1)).swapaxes(2, 3)
+    dx = _depth_to_space(_fold_conv(dy, wt, dtype)).astype(x.dtype)
+    # dw: pull back through the folded conv w.r.t. w only — XLA emits its
+    # standard weight-grad correlation with 4*Cout output lanes (never
+    # lane-starved); the unused forward primal inside vjp is linear in w
+    # and gets dead-code-eliminated under jit.
+    dy_p = _space_to_depth(dy)
+    dw = jax.vjp(lambda wv: _fold_conv(x, wv, dtype), w)[1](dy_p)[0]
+    db = jnp.sum(dy, axis=(0, 1, 2), dtype=jnp.float32).astype(bias.dtype)
+    return dx, dw, db
+
+
+_s2d_conv.defvjp(_s2d_conv_fwd, _s2d_conv_bwd)
+
+
 class _S2DConv(nn.Module):
     """Stride-1 KxK conv evaluated in 2x2 space-to-depth space.
 
@@ -80,8 +136,9 @@ class _S2DConv(nn.Module):
     MXU sees a KSxKS conv with 4*Cin -> 4*Cout channels at half resolution:
     for the lane-starved early DispNetS layers (32 ch) XLA sustains ~9
     TFLOPS on the direct form in-step vs >100 TFLOPS on the 128-channel
-    s2d form — the 2x tap-FLOP overhead is a large net win. Exactness is
-    tested against nn.Conv in tests/test_geonet_train.py.
+    s2d form — the 2x tap-FLOP overhead is a large net win. The backward
+    convs are lane-packed too (see _s2d_conv_bwd). Exactness (forward and
+    gradients) is tested against nn.Conv in tests/test_geonet_train.py.
     """
     features: int
     kernel: int
@@ -101,22 +158,7 @@ class _S2DConv(nn.Module):
                 ((p, p), (p, p)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             return y + bias.astype(self.dtype)
-        # Fold the space-to-depth of the *input* into the conv itself:
-        # y_s2d[i, j, (a, b, co)] = y[2i+a, 2j+b] is a stride-2 conv over
-        # the original x with a (K+2)-extent kernel whose (a, b) output
-        # block is w padded by (a, 2-a)/(b, 2-b) — no input layout copy
-        # (the explicit s2d transpose cost ~2 ms/step in XLA copies).
-        P = (self.kernel - 1) // 2
-        wd = w.astype(self.dtype)
-        k10 = jnp.concatenate(
-            [jnp.pad(wd, ((a, 2 - a), (b, 2 - b), (0, 0), (0, 0)))
-             for a in (0, 1) for b in (0, 1)], axis=-1)
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), k10, (2, 2),
-            ((P, P + 1), (P, P + 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        y = y + jnp.tile(bias, 4).astype(self.dtype)
-        return _depth_to_space(y)
+        return _s2d_conv(x, w, bias, self.dtype)
 
 
 class _DownBlock(nn.Module):
@@ -218,11 +260,17 @@ class _UpConv(nn.Module):
 class _IConv(nn.Module):
     features: int
     dtype: Any
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
-                    kernel_init=_xavier)(x)
+        if self.s2d:
+            # Same params/name as the nn.Conv branch (checkpoint-exact);
+            # stride-1 3x3 'SAME' == symmetric pad 1, which _S2DConv uses.
+            x = _S2DConv(self.features, 3, self.dtype, name="Conv_0")(x)
+        else:
+            x = nn.Conv(self.features, (3, 3), padding="SAME",
+                        dtype=self.dtype, kernel_init=_xavier)(x)
         return nn.relu(x)
 
 
@@ -262,6 +310,12 @@ class DispNetS(nn.Module):
     # ms/step with (5, 6) at batch 128 — the depth-to-space output copies
     # eat the lane-packing gain while i1/i2 stay in original space.
     s2d_up_levels: Sequence[int] = ()
+    # Decoder iconv indices (into dec_planes: 4 -> i3, 5 -> i2, 6 -> i1)
+    # evaluated in s2d form with packed gradients (exact; see _S2DConv).
+    # i1/i2 run at 12-25% MXU lane occupancy direct (16-32 channels at
+    # 128x416 / 64x208); the 2.78x tap-FLOP overhead of the 3x3 fold is
+    # paid back 4-8x in lanes.
+    s2d_iconv_levels: Sequence[int] = ()
 
     @nn.compact
     def __call__(self, x: Array) -> tuple[Array, Array, Array, Array]:
@@ -292,34 +346,43 @@ class DispNetS(nn.Module):
                         kernel_init=_xavier)(h)
             return self.alpha * nn.sigmoid(d.astype(jnp.float32)) + self.beta
 
+        s2d_i = self.s2d_iconv_levels
+
         u7 = _crop_like(_UpConv(dp[0], self.dtype)(c7), c6)
-        i7 = _IConv(dp[0], self.dtype)(jnp.concatenate([u7, c6], -1))
+        i7 = _IConv(dp[0], self.dtype,
+                    0 in s2d_i)(jnp.concatenate([u7, c6], -1))
 
         u6 = _crop_like(_UpConv(dp[1], self.dtype)(i7), c5)
-        i6 = _IConv(dp[1], self.dtype)(jnp.concatenate([u6, c5], -1))
+        i6 = _IConv(dp[1], self.dtype,
+                    1 in s2d_i)(jnp.concatenate([u6, c5], -1))
 
         u5 = _crop_like(_UpConv(dp[2], self.dtype)(i6), c4)
-        i5 = _IConv(dp[2], self.dtype)(jnp.concatenate([u5, c4], -1))
+        i5 = _IConv(dp[2], self.dtype,
+                    2 in s2d_i)(jnp.concatenate([u5, c4], -1))
 
         u4 = _crop_like(_UpConv(dp[3], self.dtype)(i5), c3)
-        i4 = _IConv(dp[3], self.dtype)(jnp.concatenate([u4, c3], -1))
+        i4 = _IConv(dp[3], self.dtype,
+                    3 in s2d_i)(jnp.concatenate([u4, c3], -1))
         disp4 = disp_head(i4)
 
         u3 = _crop_like(_UpConv(dp[4], self.dtype)(i4), c2)
         d4_up = _crop_like(_upsample2x(disp4), c2).astype(self.dtype)
-        i3 = _IConv(dp[4], self.dtype)(jnp.concatenate([u3, c2, d4_up], -1))
+        i3 = _IConv(dp[4], self.dtype,
+                    4 in s2d_i)(jnp.concatenate([u3, c2, d4_up], -1))
         disp3 = disp_head(i3)
 
         u2 = _crop_like(_UpConv(dp[5], self.dtype,
                                 5 in self.s2d_up_levels)(i3), c1)
         d3_up = _crop_like(_upsample2x(disp3), c1).astype(self.dtype)
-        i2 = _IConv(dp[5], self.dtype)(jnp.concatenate([u2, c1, d3_up], -1))
+        i2 = _IConv(dp[5], self.dtype,
+                    5 in s2d_i)(jnp.concatenate([u2, c1, d3_up], -1))
         disp2 = disp_head(i2)
 
         u1 = _crop_like(_UpConv(dp[6], self.dtype,
                                 6 in self.s2d_up_levels)(i2), x)
         d2_up = _crop_like(_upsample2x(disp2), x).astype(self.dtype)
-        i1 = _IConv(dp[6], self.dtype)(jnp.concatenate([u1, d2_up], -1))
+        i1 = _IConv(dp[6], self.dtype,
+                    6 in s2d_i)(jnp.concatenate([u1, d2_up], -1))
         disp1 = disp_head(i1)
 
         return disp1, disp2, disp3, disp4

@@ -45,6 +45,8 @@ Array = jax.Array
 def build_models(config: GeoNetConfig) -> tuple[DispNetS, PoseNet]:
     disp_net = DispNetS(dtype=config.compute_dtype,
                         s2d_levels=tuple(config.dispnet_s2d_levels),
+                        s2d_iconv_levels=tuple(
+                            config.dispnet_s2d_iconv_levels),
                         remat=config.dispnet_remat)
     pose_net = PoseNet(num_source=config.num_source,
                        dtype=config.compute_dtype)

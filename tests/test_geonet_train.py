@@ -162,6 +162,67 @@ def test_s2d_conv_matches_direct_conv():
                                    atol=1e-4)
 
 
+def test_s2d_conv_grads_match_direct_conv():
+    """The packed-gradient custom VJP of _S2DConv equals nn.Conv autodiff:
+    dx via the packed-output fold of the flipped-kernel conv, dw via the
+    folded conv's own weight-grad, db via the reduce — all exact up to f32
+    reassociation. Covers asymmetric Cin != Cout (decoder iconv shapes)."""
+    import flax.linen as nn
+
+    from sndepth_tpu.models.dispnet import _S2DConv
+
+    rng = np.random.RandomState(7)
+    for k, c_in, c_out, h, w in [(3, 17, 16, 8, 12), (3, 65, 32, 10, 14),
+                                 (7, 32, 32, 16, 24)]:
+        x = jnp.asarray(rng.randn(2, h, w, c_in), jnp.float32)
+        g = jnp.asarray(rng.randn(2, h, w, c_out), jnp.float32)
+        p = k // 2
+        ref = nn.Conv(c_out, (k, k), padding=((p, p), (p, p)),
+                      dtype=jnp.float32)
+        variables = ref.init(jax.random.PRNGKey(1), x)
+        s2d = _S2DConv(c_out, k, jnp.float32)
+
+        def loss(mod, v, xx):
+            return jnp.sum(mod.apply(v, xx) * g)
+
+        gr_v, gr_x = jax.grad(loss, argnums=(1, 2))(ref, variables, x)
+        gs_v, gs_x = jax.grad(loss, argnums=(1, 2))(s2d, variables, x)
+        np.testing.assert_allclose(np.asarray(gs_x), np.asarray(gr_x),
+                                   rtol=1e-5, atol=1e-4)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-4),
+            gr_v, gs_v)
+
+
+def test_dispnet_s2d_iconv_levels_same_params_and_outputs():
+    """s2d_iconv_levels changes compute form only: identical param tree,
+    same disparities, same gradients (f32 rounding)."""
+    from sndepth_tpu.models.dispnet import DispNetS
+
+    x = jnp.asarray(np.random.RandomState(5).randn(2, 64, 96, 3),
+                    jnp.float32)
+    net0 = DispNetS(dtype=jnp.float32, s2d_iconv_levels=())
+    net1 = DispNetS(dtype=jnp.float32, s2d_iconv_levels=(4, 5, 6))
+    v = net0.init(jax.random.PRNGKey(0), x)
+    v1 = net1.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(v["params"]) ==
+            jax.tree_util.tree_structure(v1["params"]))
+    d0 = net0.apply(v, x)
+    d1 = net1.apply(v, x)
+    for a, b in zip(d0, d1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    def loss(net, vv):
+        return sum(jnp.sum(d) for d in net.apply(vv, x))
+
+    g0 = jax.grad(lambda vv: loss(net0, vv))(v)
+    g1 = jax.grad(lambda vv: loss(net1, vv))(v)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4), g0, g1)
+
+
 def test_dispnet_s2d_levels_same_params_and_outputs():
     """s2d_levels changes compute form only: identical param tree, same
     disparities (f32 rounding)."""
