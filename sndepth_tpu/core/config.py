@@ -56,6 +56,9 @@ class GeoNetConfig:
     # DispNetS decoder iconv indices evaluated in s2d form with packed
     # gradients (4 -> i3, 5 -> i2, 6 -> i1; see models/dispnet._IConv).
     dispnet_s2d_iconv_levels: tuple = ()
+    # DispNetS encoder levels whose stride-2 conv computes its data-grad
+    # lane-packed (see models/dispnet._PackedDGradDownConv).
+    dispnet_packed_dgrad_levels: tuple = ()
     # Rematerialize DispNetS encoder blocks in backward. Round-1 remat won
     # 339->308 ms when the direct 7x7 conv dominated; with the s2d conv the
     # recompute (2 extra conv passes) costs more than storing: measured

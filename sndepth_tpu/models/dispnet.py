@@ -128,6 +128,103 @@ def _s2d_conv_bwd(dtype, res, dy):
 _s2d_conv.defvjp(_s2d_conv_fwd, _s2d_conv_bwd)
 
 
+def _stride2_dgrad_map(kernel: int) -> tuple[int, int, "np.ndarray"]:
+    """Static tap map for the data-grad of a stride-2 'same' KxK conv,
+    evaluated as a stride-1 conv over dy with space-to-depth-packed output.
+
+    dx[2i'+a, ., ci] = sum_u dy[i'+d, ., co] * w[u, ., ci, co] with
+    d = (a + P - u)/2 over the taps where (a + P - u) is even. Returns
+    (T, pad_lo, u_idx) with u_idx of shape (T, 2) indexed [t, a] giving the
+    original tap u (or K for the zero slot); conv tap t reads dy[i' + t -
+    pad_lo].
+    """
+    import numpy as np
+    P = (kernel - 1) // 2
+    ds = [(a + P - u) // 2 for a in range(2) for u in range(kernel)
+          if (a + P - u) % 2 == 0]
+    pad_lo = -min(ds)
+    T = max(ds) + pad_lo + 1
+    u_idx = np.full((T, 2), kernel, np.int32)
+    for a in range(2):
+        for u in range(kernel):
+            if (a + P - u) % 2 == 0:
+                u_idx[(a + P - u) // 2 + pad_lo, a] = u
+    return T, pad_lo, u_idx
+
+
+def _down_conv_impl(x: Array, w: Array, bias: Array, dtype: Any) -> Array:
+    P = (w.shape[0] - 1) // 2
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), w.astype(dtype), (2, 2), ((P, P), (P, P)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + bias.astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _down_conv(x: Array, w: Array, bias: Array, dtype: Any) -> Array:
+    """'same' stride-2 KxK conv == nn.Conv(Cout, (K, K), strides=(2, 2),
+    padding=P) with a lane-packed data-grad in the backward."""
+    return _down_conv_impl(x, w, bias, dtype)
+
+
+def _down_conv_fwd(x, w, bias, dtype):
+    return _down_conv(x, w, bias, dtype), (x, w, bias)
+
+
+def _down_conv_bwd(dtype, res, dy):
+    x, w, bias = res
+    k = w.shape[0]
+    c_in = w.shape[2]
+    # dx: the data-grad of a stride-2 conv is XLA's lhs-dilated transpose
+    # producing Cin channels at input resolution (25% lanes for the
+    # 32-channel early levels). Evaluated instead as a T x T stride-1 conv
+    # over dy with the parity-split kernel and 4*Cin packed output:
+    # e.g. level 1's (5,5,32,64) dgrad goes 25 taps @ 32 lanes ->
+    # 9 taps @ 128 lanes (1.44x FLOPs, 4x lanes).
+    T, pad_lo, u_idx = _stride2_dgrad_map(k)
+    wp = jnp.pad(w.astype(dtype), ((0, 1), (0, 1), (0, 0), (0, 0)))
+    # (T, 2, T, 2, Cin, Cout) -> (T, T, Cout, 2, 2, Cin) -> packed kernel
+    kt = wp[u_idx[:, :, None, None], u_idx[None, None, :, :]]
+    kt = jnp.transpose(kt, (0, 2, 5, 1, 3, 4)).reshape(
+        T, T, w.shape[3], 4 * c_in)
+    pad_hi = T - 1 - pad_lo
+    dx_p = jax.lax.conv_general_dilated(
+        dy, kt, (1, 1), ((pad_lo, pad_hi), (pad_lo, pad_hi)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    dx = _depth_to_space(dx_p).astype(x.dtype)
+    # dw: XLA's own weight-grad for the direct conv (identical to
+    # autodiff; the primal inside vjp is linear in w and DCE'd under jit).
+    P = (k - 1) // 2
+    dw = jax.vjp(
+        lambda wv: jax.lax.conv_general_dilated(
+            x.astype(dtype), wv.astype(dtype), (2, 2), ((P, P), (P, P)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")), w)[1](dy)[0]
+    db = jnp.sum(dy, axis=(0, 1, 2), dtype=jnp.float32).astype(bias.dtype)
+    return dx, dw, db
+
+
+_down_conv.defvjp(_down_conv_fwd, _down_conv_bwd)
+
+
+class _PackedDGradDownConv(nn.Module):
+    """nn.Conv(features, (K, K), strides=2, padding=P) with the packed
+    data-grad backward; identical param tree ('kernel' + 'bias')."""
+    features: int
+    kernel: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c_in = x.shape[-1]
+        w = self.param("kernel", _xavier,
+                       (self.kernel, self.kernel, c_in, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if x.shape[1] % 2 or x.shape[2] % 2:
+            # Odd input dims: packed dx would need odd-d2s; use autodiff.
+            return _down_conv_impl(x, w, bias, self.dtype)
+        return _down_conv(x, w, bias, self.dtype)
+
+
 class _S2DConv(nn.Module):
     """Stride-1 KxK conv evaluated in 2x2 space-to-depth space.
 
@@ -166,6 +263,7 @@ class _DownBlock(nn.Module):
     kernel: int
     dtype: Any
     s2d: bool = False
+    packed_dgrad: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -175,8 +273,14 @@ class _DownBlock(nn.Module):
         # breaks converted-checkpoint parity.
         p = (self.kernel - 1) // 2
         pad = ((p, p), (p, p))
-        x = nn.Conv(self.features, (self.kernel, self.kernel), strides=(2, 2),
-                    padding=pad, dtype=self.dtype, kernel_init=_xavier)(x)
+        if self.packed_dgrad:
+            # Same params/name as the nn.Conv branch (checkpoint-exact).
+            x = _PackedDGradDownConv(self.features, self.kernel, self.dtype,
+                                     name="Conv_0")(x)
+        else:
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        strides=(2, 2), padding=pad, dtype=self.dtype,
+                        kernel_init=_xavier, name="Conv_0")(x)
         x = nn.relu(x)
         if self.s2d:
             # Same params/name as the nn.Conv branch (checkpoint-exact).
@@ -184,7 +288,8 @@ class _DownBlock(nn.Module):
                          name="Conv_1")(x)
         else:
             x = nn.Conv(self.features, (self.kernel, self.kernel),
-                        padding=pad, dtype=self.dtype, kernel_init=_xavier)(x)
+                        padding=pad, dtype=self.dtype, kernel_init=_xavier,
+                        name="Conv_1")(x)
         return nn.relu(x)
 
 
@@ -310,6 +415,10 @@ class DispNetS(nn.Module):
     # ms/step with (5, 6) at batch 128 — the depth-to-space output copies
     # eat the lane-packing gain while i1/i2 stay in original space.
     s2d_up_levels: Sequence[int] = ()
+    # Encoder levels whose stride-2 conv keeps the direct forward but
+    # computes its data-grad lane-packed (see _PackedDGradDownConv).
+    # Level 0 is pointless (its dx is the image gradient, DCE'd by XLA).
+    packed_dgrad_levels: Sequence[int] = ()
     # Decoder iconv indices (into dec_planes: 4 -> i3, 5 -> i2, 6 -> i1)
     # evaluated in s2d form with packed gradients (exact; see _S2DConv).
     # i1/i2 run at 12-25% MXU lane occupancy direct (16-32 channels at
@@ -331,6 +440,7 @@ class DispNetS(nn.Module):
             # remat (nn.remat would otherwise rename the module scope,
             # breaking the torch-checkpoint converter paths).
             h = down(planes, k, self.dtype, i in self.s2d_levels,
+                     i in self.packed_dgrad_levels,
                      name=f"_DownBlock_{i}")(h)
             feats.append(h)
         c1, c2, c3, c4, c5, c6, c7 = feats

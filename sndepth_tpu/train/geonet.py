@@ -47,6 +47,8 @@ def build_models(config: GeoNetConfig) -> tuple[DispNetS, PoseNet]:
                         s2d_levels=tuple(config.dispnet_s2d_levels),
                         s2d_iconv_levels=tuple(
                             config.dispnet_s2d_iconv_levels),
+                        packed_dgrad_levels=tuple(
+                            config.dispnet_packed_dgrad_levels),
                         remat=config.dispnet_remat)
     pose_net = PoseNet(num_source=config.num_source,
                        dtype=config.compute_dtype)

@@ -195,6 +195,41 @@ def test_s2d_conv_grads_match_direct_conv():
             gr_v, gs_v)
 
 
+def test_packed_dgrad_down_conv_matches_direct():
+    """_PackedDGradDownConv: identical forward to the stride-2 nn.Conv and
+    identical gradients (dx via the parity-split packed conv over dy)."""
+    import flax.linen as nn
+
+    from sndepth_tpu.models.dispnet import _PackedDGradDownConv
+
+    rng = np.random.RandomState(11)
+    for k, c_in, c_out, h, w in [(5, 32, 64, 16, 24), (7, 3, 32, 16, 20),
+                                 (3, 64, 128, 12, 16), (5, 32, 64, 15, 21)]:
+        x = jnp.asarray(rng.randn(2, h, w, c_in), jnp.float32)
+        p = k // 2
+        ref = nn.Conv(c_out, (k, k), strides=(2, 2),
+                      padding=((p, p), (p, p)), dtype=jnp.float32)
+        variables = ref.init(jax.random.PRNGKey(2), x)
+        mod = _PackedDGradDownConv(c_out, k, jnp.float32)
+        y_ref = ref.apply(variables, x)
+        y = mod.apply(variables, x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-4)
+        g = jnp.asarray(rng.randn(*y_ref.shape), jnp.float32)
+
+        def loss(m, v, xx):
+            return jnp.sum(m.apply(v, xx) * g)
+
+        gr_v, gr_x = jax.grad(loss, argnums=(1, 2))(ref, variables, x)
+        gs_v, gs_x = jax.grad(loss, argnums=(1, 2))(mod, variables, x)
+        np.testing.assert_allclose(np.asarray(gs_x), np.asarray(gr_x),
+                                   rtol=1e-5, atol=1e-4)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-4),
+            gr_v, gs_v)
+
+
 def test_dispnet_s2d_iconv_levels_same_params_and_outputs():
     """s2d_iconv_levels changes compute form only: identical param tree,
     same disparities, same gradients (f32 rounding)."""
@@ -203,7 +238,8 @@ def test_dispnet_s2d_iconv_levels_same_params_and_outputs():
     x = jnp.asarray(np.random.RandomState(5).randn(2, 64, 96, 3),
                     jnp.float32)
     net0 = DispNetS(dtype=jnp.float32, s2d_iconv_levels=())
-    net1 = DispNetS(dtype=jnp.float32, s2d_iconv_levels=(4, 5, 6))
+    net1 = DispNetS(dtype=jnp.float32, s2d_iconv_levels=(4, 5, 6),
+                    packed_dgrad_levels=(1, 2))
     v = net0.init(jax.random.PRNGKey(0), x)
     v1 = net1.init(jax.random.PRNGKey(0), x)
     assert (jax.tree_util.tree_structure(v["params"]) ==
