@@ -59,6 +59,10 @@ class GeoNetConfig:
     # DispNetS encoder levels whose stride-2 conv computes its data-grad
     # lane-packed (see models/dispnet._PackedDGradDownConv).
     dispnet_packed_dgrad_levels: tuple = ()
+    # Same knobs for the stage-2 FlowNet (identical encoder shapes).
+    flownet_s2d_levels: tuple = (0,)
+    flownet_s2d_iconv_levels: tuple = ()
+    flownet_packed_dgrad_levels: tuple = ()
     # Rematerialize DispNetS encoder blocks in backward. Round-1 remat won
     # 339->308 ms when the direct 7x7 conv dominated; with the s2d conv the
     # recompute (2 extra conv passes) costs more than storing: measured

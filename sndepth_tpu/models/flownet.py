@@ -27,6 +27,11 @@ class FlowNet(nn.Module):
     flows, finest first, each (B, H/2^s, W/2^s, 2)."""
     flow_scale_factor: float = 1.0
     dtype: Any = jnp.float32
+    # Same lane-packing knobs as DispNetS (the encoder levels share shapes
+    # with DispNetS's, where level-0 s2d was a measured win).
+    s2d_levels: tuple = (0,)
+    s2d_iconv_levels: tuple = ()
+    packed_dgrad_levels: tuple = ()
 
     @nn.compact
     def __call__(self, x: Array):
@@ -35,8 +40,9 @@ class FlowNet(nn.Module):
         kernels = (7, 5, 3, 3, 3, 3, 3)
         feats = []
         h = x
-        for planes, k in zip(enc_planes, kernels):
-            h = _DownBlock(planes, k, self.dtype)(h)
+        for i, (planes, k) in enumerate(zip(enc_planes, kernels)):
+            h = _DownBlock(planes, k, self.dtype, i in self.s2d_levels,
+                           i in self.packed_dgrad_levels)(h)
             feats.append(h)
         c1, c2, c3, c4, c5, c6, c7 = feats
 
@@ -62,12 +68,16 @@ class FlowNet(nn.Module):
 
         u2 = _crop_like(_UpConv(32, self.dtype)(i3), c1)
         f3up = _crop_like(_upsample2x(flow3), c1).astype(self.dtype)
-        i2 = _IConv(32, self.dtype)(jnp.concatenate([u2, c1, f3up], -1))
+        i2 = _IConv(32, self.dtype,
+                    5 in self.s2d_iconv_levels)(
+                        jnp.concatenate([u2, c1, f3up], -1))
         flow2 = flow_head(i2)
 
         u1 = _crop_like(_UpConv(16, self.dtype)(i2), x)
         f2up = _crop_like(_upsample2x(flow2), x).astype(self.dtype)
-        i1 = _IConv(16, self.dtype)(jnp.concatenate([u1, f2up], -1))
+        i1 = _IConv(16, self.dtype,
+                    6 in self.s2d_iconv_levels)(
+                        jnp.concatenate([u1, f2up], -1))
         flow1 = flow_head(i1)
 
         return flow1, flow2, flow3, flow4

@@ -58,7 +58,11 @@ def build_models(config: GeoNetConfig) -> tuple[DispNetS, PoseNet]:
 def build_flow_net(config: GeoNetConfig):
     from sndepth_tpu.models.flownet import FlowNet
     return FlowNet(flow_scale_factor=config.flow_scale_factor,
-                   dtype=config.compute_dtype)
+                   dtype=config.compute_dtype,
+                   s2d_levels=tuple(config.flownet_s2d_levels),
+                   s2d_iconv_levels=tuple(config.flownet_s2d_iconv_levels),
+                   packed_dgrad_levels=tuple(
+                       config.flownet_packed_dgrad_levels))
 
 
 @functools.partial(jax.jit, static_argnums=1)
