@@ -103,3 +103,29 @@ def test_kitti_motion_dataset(tmp_path):
     assert s["image"].shape == (32, 48, 3)
     assert s["image"].max() <= 1.0
     assert set(np.unique(s["label"])) <= {0, 1, 2}
+
+
+def test_matmul_deconv16_matches_conv_transpose():
+    """_MatmulDeconv16 == nn.ConvTranspose(k=16, s=16) exactly (same param
+    tree; matmul + depth-to-space form with flipped taps), fwd and grads."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    from sndepth_tpu.models.motionseg import _MatmulDeconv16
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 3, 5, 8), jnp.float32)
+    ref = nn.ConvTranspose(3, (16, 16), strides=(16, 16), dtype=jnp.float32)
+    v = ref.init(jax.random.PRNGKey(0), x)
+    mod = _MatmulDeconv16(3, jnp.float32)
+    np.testing.assert_allclose(np.asarray(mod.apply(v, x)),
+                               np.asarray(ref.apply(v, x)),
+                               rtol=1e-6, atol=1e-6)
+    g = jnp.asarray(rng.randn(2, 48, 80, 3), jnp.float32)
+    gr = jax.grad(lambda vv, xx: jnp.sum(ref.apply(vv, xx) * g),
+                  argnums=(0, 1))(v, x)
+    gm = jax.grad(lambda vv, xx: jnp.sum(mod.apply(vv, xx) * g),
+                  argnums=(0, 1))(v, x)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-4), gr, gm)
