@@ -81,11 +81,51 @@ class SqueezeExcite(nn.Module):
         return x * nn.sigmoid(s)
 
 
+class ShiftDepthwise(nn.Module):
+    """Depthwise KxK 'SAME' conv evaluated as K*K shifted multiply-adds.
+
+    Identical params to ``nn.Conv(ch, (K, K), strides, padding='SAME',
+    feature_group_count=ch, use_bias=False)`` (kernel (K, K, 1, ch)). A
+    depthwise conv does no channel contraction, so it never belongs on the
+    MXU; expressing it as strided-slice FMAs keeps it a pure VPU/fusion op
+    and sidesteps whatever grouped-conv lowering XLA picks. Exactness
+    tested in tests/test_nnet.py.
+    """
+    features: int
+    kernel: int
+    stride: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        k, s = self.kernel, self.stride
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (k, k, 1, self.features))
+        b_, h, wd, c = x.shape
+        ho, wo = -(-h // s), -(-wd // s)
+        pad_h = max((ho - 1) * s + k - h, 0)
+        pad_w = max((wo - 1) * s + k - wd, 0)
+        xp = jnp.pad(x.astype(self.dtype),
+                     ((0, 0), (pad_h // 2, pad_h - pad_h // 2),
+                      (pad_w // 2, pad_w - pad_w // 2), (0, 0)))
+        wdt = w.astype(self.dtype)
+        out = jnp.zeros((b_, ho, wo, c), self.dtype)
+        for u in range(k):
+            for v in range(k):
+                sl = jax.lax.slice(
+                    xp, (0, u, v, 0),
+                    (b_, u + (ho - 1) * s + 1, v + (wo - 1) * s + 1, c),
+                    (1, s, s, 1))
+                out = out + sl * wdt[u, v, 0]
+        return out
+
+
 class MBConv(nn.Module):
     spec: BlockSpec
     stride: int
     in_ch: int
     dtype: Any
+    shift_depthwise: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -93,20 +133,30 @@ class MBConv(nn.Module):
         residual = x
         mid = self.in_ch * s.expand
         h = x
+        n_conv = 0
         if s.expand != 1:
-            h = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype)(h)
+            h = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype,
+                        name="Conv_0")(h)
+            n_conv = 1
             h = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
                              dtype=self.dtype)(h)
             h = nn.silu(h)
-        h = nn.Conv(mid, (s.kernel, s.kernel), strides=(self.stride,) * 2,
-                    padding="SAME", feature_group_count=mid, use_bias=False,
-                    dtype=self.dtype)(h)
+        if self.shift_depthwise:
+            # Same param name as the nn.Conv branch (checkpoint-exact).
+            h = ShiftDepthwise(mid, s.kernel, self.stride, self.dtype,
+                               name=f"Conv_{n_conv}")(h)
+        else:
+            h = nn.Conv(mid, (s.kernel, s.kernel),
+                        strides=(self.stride,) * 2, padding="SAME",
+                        feature_group_count=mid, use_bias=False,
+                        dtype=self.dtype, name=f"Conv_{n_conv}")(h)
         h = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
                          dtype=self.dtype)(h)
         h = nn.silu(h)
         h = SqueezeExcite(max(1, int(self.in_ch * s.se_ratio)),
                           self.dtype)(h)
-        h = nn.Conv(s.out_ch, (1, 1), use_bias=False, dtype=self.dtype)(h)
+        h = nn.Conv(s.out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name=f"Conv_{n_conv + 1}")(h)
         h = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
                          dtype=self.dtype)(h)
         if self.stride == 1 and self.in_ch == s.out_ch:
@@ -122,6 +172,9 @@ class EfficientNetEncoder(nn.Module):
     stem_ch: int = 48       # _round_filters(32, 1.6)
     head_ch: int = 2048     # _round_filters(1280, 1.6)
     dtype: Any = jnp.float32
+    # Evaluate depthwise convs as shifted FMAs (see ShiftDepthwise);
+    # param-tree-identical, off until A/B'd on hardware.
+    shift_depthwise: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> dict:
@@ -139,6 +192,7 @@ class EfficientNetEncoder(nn.Module):
             for ri in range(spec.repeats):
                 stride = spec.stride if ri == 0 else 1
                 h = MBConv(spec, stride, in_ch, self.dtype,
+                           self.shift_depthwise,
                            name=f"stage{si}_block{ri}")(h, train)
                 in_ch = spec.out_ch
             feats[f"stage{si}"] = h

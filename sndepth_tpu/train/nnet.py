@@ -32,12 +32,14 @@ class NormalNet(nn.Module):
     importance_ratio: float = 0.7
     architecture: str = "GN"
     dtype: Any = jnp.float32
+    shift_depthwise: bool = False
 
     @nn.compact
     def __call__(self, rgb: Array, *, mode: str = "test",
                  gt_norm_mask: Array | None = None,
                  rng: Array | None = None, train: bool = False):
-        feats = EfficientNetEncoder(dtype=self.dtype)(
+        feats = EfficientNetEncoder(dtype=self.dtype,
+                                    shift_depthwise=self.shift_depthwise)(
             bgr_preprocess(rgb) / 255.0, train=train)
         return NormalDecoder(
             sampling_ratio=self.sampling_ratio,

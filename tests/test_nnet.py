@@ -186,3 +186,59 @@ def test_nnet_full_pipeline():
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(norm), axis=-1), 1.0, atol=1e-4)
     assert np.isfinite(np.asarray(depth)).all()
+
+
+def test_shift_depthwise_matches_grouped_conv():
+    """ShiftDepthwise == nn.Conv(feature_group_count=C) exactly: same
+    params, same output ('SAME' padding incl. stride 2 / odd dims), same
+    gradients."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sndepth_tpu.models.efficientnet import ShiftDepthwise
+
+    rng = np.random.RandomState(3)
+    for k, s, c, h, w in [(5, 1, 24, 12, 16), (3, 2, 16, 14, 18),
+                          (5, 2, 8, 15, 13), (3, 1, 32, 9, 11)]:
+        x = jnp.asarray(rng.randn(2, h, w, c), jnp.float32)
+        ref = nn.Conv(c, (k, k), strides=(s, s), padding="SAME",
+                      feature_group_count=c, use_bias=False,
+                      dtype=jnp.float32)
+        v = ref.init(jax.random.PRNGKey(0), x)
+        mod = ShiftDepthwise(c, k, s, jnp.float32)
+        y_ref = ref.apply(v, x)
+        y = mod.apply(v, x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-5)
+        g = jnp.asarray(rng.randn(*y_ref.shape), jnp.float32)
+        gr = jax.grad(lambda vv, xx: jnp.sum(ref.apply(vv, xx) * g),
+                      argnums=(0, 1))(v, x)
+        gm = jax.grad(lambda vv, xx: jnp.sum(mod.apply(vv, xx) * g),
+                      argnums=(0, 1))(v, x)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-4), gr, gm)
+
+
+def test_normalnet_shift_depthwise_same_params_and_outputs():
+    """shift_depthwise changes compute form only on the NNET encoder."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sndepth_tpu.models.efficientnet import EfficientNetEncoder
+
+    x = jnp.asarray(np.random.RandomState(2).rand(1, 32, 32, 3), jnp.float32)
+    enc0 = EfficientNetEncoder(dtype=jnp.float32)
+    enc1 = EfficientNetEncoder(dtype=jnp.float32, shift_depthwise=True)
+    v = enc0.init(jax.random.PRNGKey(0), x)
+    v1 = enc1.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(v["params"]) ==
+            jax.tree_util.tree_structure(v1["params"]))
+    f0 = enc0.apply(v, x)
+    f1 = enc1.apply(v, x)
+    for key in f0:
+        np.testing.assert_allclose(np.asarray(f1[key]), np.asarray(f0[key]),
+                                   rtol=1e-4, atol=1e-4)
