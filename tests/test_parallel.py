@@ -175,3 +175,16 @@ def test_fsdp_train_step_matches_replicated():
     # second step with donated state keeps shardings and runs
     sstate, metrics = step(sstate, pmesh.shard_batch(_batch(CFG, 1), mesh))
     assert np.isfinite(float(metrics["loss_total"]))
+
+
+def test_pipeline_parallel_denoiser_layers():
+    """GPipe pipeline over a 'stage' mesh axis (shard_map + ppermute)
+    equals sequential layer application exactly, for 4 and 8 stages."""
+    from sndepth_tpu.parallel.pipeline import run_pipeline_denoiser
+
+    for n_stages, n_micro in [(4, 4), (8, 2)]:
+        pipe, seq = run_pipeline_denoiser(jax.devices()[:n_stages],
+                                          n_stages=n_stages,
+                                          n_micro=n_micro)
+        np.testing.assert_allclose(np.asarray(pipe), np.asarray(seq),
+                                   rtol=1e-5, atol=1e-5)
