@@ -188,3 +188,16 @@ def test_pipeline_parallel_denoiser_layers():
                                           n_micro=n_micro)
         np.testing.assert_allclose(np.asarray(pipe), np.asarray(seq),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_sequence_parallel_encoder():
+    """Sequence-sharded encoder (local Q, all-gathered K/V over a 'seq'
+    axis) equals the unsharded layer stack exactly."""
+    from sndepth_tpu.parallel.sequence_parallel import (
+        run_sequence_parallel_encoder)
+
+    for n_shards in (4, 8):
+        sp, seq = run_sequence_parallel_encoder(jax.devices()[:n_shards],
+                                                n_shards=n_shards)
+        np.testing.assert_allclose(np.asarray(sp), np.asarray(seq),
+                                   rtol=1e-5, atol=1e-5)
