@@ -75,9 +75,10 @@ def create_train_state(rng: Array, sample_shape=(1, 64, 96),
         opt_state=make_optimizer().init(params), rng=state_rng)
 
 
-def train_step(state: NormalTrainState, batch: dict, dtype=jnp.float32):
+def train_step(state: NormalTrainState, batch: dict, dtype=jnp.float32,
+               shift_depthwise: bool = False):
     """batch: rgb (B,H,W,3) in [0,1]-ish, normals (B,H,W,3), mask (B,H,W)."""
-    model = NormalNet(dtype=dtype)
+    model = NormalNet(dtype=dtype, shift_depthwise=shift_depthwise)
     rng, sample_rng = jax.random.split(state.rng)
 
     def loss_fn(params):
@@ -101,6 +102,7 @@ def train_step(state: NormalTrainState, batch: dict, dtype=jnp.float32):
             {"loss": loss})
 
 
-def make_train_step(dtype=jnp.float32):
-    return jax.jit(functools.partial(train_step, dtype=dtype),
+def make_train_step(dtype=jnp.float32, shift_depthwise: bool = False):
+    return jax.jit(functools.partial(train_step, dtype=dtype,
+                                     shift_depthwise=shift_depthwise),
                    donate_argnums=(0,))
