@@ -73,54 +73,101 @@ def _s2d_tap_map(kernel: int) -> tuple[int, int, "np.ndarray", "np.ndarray"]:
     return ks, pad, u_idx, u_idx.copy()
 
 
-def _fold_conv(x: Array, w: Array, dtype: Any) -> Array:
-    """Stride-1 KxK 'same' zero-pad conv with 2x2 space-to-depth-packed
+def _s2d_f(x: Array, f: int) -> Array:
+    """(B, H, W, C) -> (B, H/f, W/f, f*f*C); channel = (dy*f + dx)*C + c."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // f, f, w // f, f, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(b, h // f, w // f, f * f * c)
+
+
+def _d2s_f(x: Array, f: int) -> Array:
+    """Inverse of :func:`_s2d_f`."""
+    b, h, w, cf = x.shape
+    c = cf // (f * f)
+    x = x.reshape(b, h, w, f, f, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(b, f * h, f * w, c)
+
+
+def _occupancy(c: int) -> float:
+    import math
+    return c / (math.ceil(c / 128) * 128)
+
+
+def _fold_factor(kernel: int, c_out: int, h: int, w: int) -> int:
+    """Best space-to-depth factor f for a KxK conv with c_out output
+    channels: maximize lane occupancy of f*f*c_out divided by the tap-FLOP
+    overhead (K+f-1)^2/K^2. f=1 is the direct form."""
+    best_f, best_score = 1, _occupancy(c_out)
+    for f in (2, 4):
+        if h % f or w % f:
+            continue
+        score = (_occupancy(c_out * f * f) /
+                 ((kernel + f - 1) ** 2 / kernel ** 2))
+        if score > best_score * 1.05:   # require a real margin over direct
+            best_f, best_score = f, score
+    return best_f
+
+
+def _fold_conv(x: Array, w: Array, dtype: Any, f: int = 2) -> Array:
+    """Stride-1 KxK 'same' zero-pad conv with fxf space-to-depth-packed
     output.
 
     Folds the space-to-depth of the *output* into the conv itself:
-    ``out[i, j, (a, b, co)] = y[2i+a, 2j+b, co]`` is a stride-2 conv over
-    the original x whose (a, b) output-channel block is w zero-padded by
-    (a, 2-a)/(b, 2-b) — no input layout copy. Returns (B, H/2, W/2,
-    4*Cout); ``_depth_to_space`` of it equals the direct conv output.
+    ``out[i, j, (a, b, co)] = y[f*i+a, f*j+b, co]`` is a stride-f conv
+    over the original x whose (a, b) output-channel block is w zero-padded
+    by (a, f-1-a)/(b, f-1-b) — no input layout copy. Returns (B, H/f,
+    W/f, f*f*Cout); ``_d2s_f(., f)`` of it equals the direct conv output.
     """
+    if f == 1:
+        P = (w.shape[0] - 1) // 2
+        return jax.lax.conv_general_dilated(
+            x.astype(dtype), w.astype(dtype), (1, 1), ((P, P), (P, P)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
     P = (w.shape[0] - 1) // 2
     wd = w.astype(dtype)
-    k10 = jnp.concatenate(
-        [jnp.pad(wd, ((a, 2 - a), (b, 2 - b), (0, 0), (0, 0)))
-         for a in (0, 1) for b in (0, 1)], axis=-1)
+    kf = jnp.concatenate(
+        [jnp.pad(wd, ((a, f - 1 - a), (b, f - 1 - b), (0, 0), (0, 0)))
+         for a in range(f) for b in range(f)], axis=-1)
     return jax.lax.conv_general_dilated(
-        x.astype(dtype), k10, (2, 2),
-        ((P, P + 1), (P, P + 1)),
+        x.astype(dtype), kf, (f, f),
+        ((P, P + f - 1), (P, P + f - 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _s2d_conv(x: Array, w: Array, bias: Array, dtype: Any) -> Array:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _s2d_conv(x: Array, w: Array, bias: Array, dtype: Any,
+              f_fwd: int = 2, f_dgrad: int = 2) -> Array:
     """'same' KxK conv == nn.Conv(Cout, (K, K), padding=P), evaluated with
-    space-to-depth-packed output and custom lane-packed gradients."""
-    return _depth_to_space(_fold_conv(x, w, dtype)) + bias.astype(dtype)
+    space-to-depth-packed output and custom lane-packed gradients. The
+    static factors pick the forward / data-grad packing independently."""
+    y = _fold_conv(x, w, dtype, f_fwd)
+    y = _d2s_f(y, f_fwd) if f_fwd > 1 else y
+    return y + bias.astype(dtype)
 
 
-def _s2d_conv_fwd(x, w, bias, dtype):
-    return _s2d_conv(x, w, bias, dtype), (x, w, bias)
+def _s2d_conv_fwd(x, w, bias, dtype, f_fwd, f_dgrad):
+    return _s2d_conv(x, w, bias, dtype, f_fwd, f_dgrad), (x, w, bias)
 
 
-def _s2d_conv_bwd(dtype, res, dy):
+def _s2d_conv_bwd(dtype, f_fwd, f_dgrad, res, dy):
     x, w, bias = res
     # dx: the data-grad is itself a 'same' KxK conv (dy against the
     # spatially-flipped, in/out-transposed kernel) — evaluate it in the
-    # same packed-output form so its MXU lanes are 4*Cin instead of Cin.
+    # same packed-output form so its MXU lanes are f^2*Cin instead of Cin.
     # The direct conv-transpose XLA autodiff emits for the folded forward
     # is among the most lane-starved ops in the train step (e.g. level 0's
     # (9,9,32,128) -> 64x208x32 at 25% lane occupancy, ~848 GFLOP).
     wt = jnp.flip(w, (0, 1)).swapaxes(2, 3)
-    dx = _depth_to_space(_fold_conv(dy, wt, dtype)).astype(x.dtype)
+    dxp = _fold_conv(dy, wt, dtype, f_dgrad)
+    dx = (_d2s_f(dxp, f_dgrad) if f_dgrad > 1 else dxp).astype(x.dtype)
     # dw: pull back through the folded conv w.r.t. w only — XLA emits its
-    # standard weight-grad correlation with 4*Cout output lanes (never
+    # standard weight-grad correlation with f^2*Cout output lanes (never
     # lane-starved); the unused forward primal inside vjp is linear in w
     # and gets dead-code-eliminated under jit.
-    dy_p = _space_to_depth(dy)
-    dw = jax.vjp(lambda wv: _fold_conv(x, wv, dtype), w)[1](dy_p)[0]
+    dy_p = _s2d_f(dy, f_fwd) if f_fwd > 1 else dy
+    dw = jax.vjp(lambda wv: _fold_conv(x, wv, dtype, f_fwd), w)[1](dy_p)[0]
     db = jnp.sum(dy, axis=(0, 1, 2), dtype=jnp.float32).astype(bias.dtype)
     return dx, dw, db
 
@@ -247,15 +294,18 @@ class _S2DConv(nn.Module):
         w = self.param("kernel", _xavier,
                        (self.kernel, self.kernel, c_in, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        if x.shape[1] % 2 or x.shape[2] % 2:
-            # Odd spatial dims: fall back to the direct form (same params).
+        h_, w_ = x.shape[1], x.shape[2]
+        f_fwd = _fold_factor(self.kernel, self.features, h_, w_)
+        f_dgrad = _fold_factor(self.kernel, c_in, h_, w_)
+        if f_fwd == 1 and f_dgrad == 1:
+            # Direct form is already lane-efficient (or dims are odd).
             p = (self.kernel - 1) // 2
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), w.astype(self.dtype), (1, 1),
                 ((p, p), (p, p)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             return y + bias.astype(self.dtype)
-        return _s2d_conv(x, w, bias, self.dtype)
+        return _s2d_conv(x, w, bias, self.dtype, f_fwd, f_dgrad)
 
 
 class _DownBlock(nn.Module):
