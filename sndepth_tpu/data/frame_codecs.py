@@ -37,9 +37,13 @@ def write_flow_kitti(filename: str, uv: np.ndarray,
 
 
 def read_flow_kitti(filename: str) -> tuple[np.ndarray, np.ndarray]:
-    import cv2
-    raw = cv2.imread(filename, cv2.IMREAD_ANYDEPTH | cv2.IMREAD_COLOR)
-    raw = raw[..., ::-1].astype(np.float32)
+    from sndepth_tpu import native
+    if native.available():
+        raw = native.decode(filename).astype(np.float32)
+    else:
+        import cv2
+        raw = cv2.imread(filename, cv2.IMREAD_ANYDEPTH | cv2.IMREAD_COLOR)
+        raw = raw[..., ::-1].astype(np.float32)
     flow = (raw[..., :2] - 2 ** 15) / 64.0
     valid = raw[..., 2]
     return flow, valid
@@ -51,6 +55,9 @@ def write_disp_kitti(filename: str, disp: np.ndarray) -> None:
 
 
 def read_disp_kitti(filename: str) -> np.ndarray:
+    from sndepth_tpu import native
+    if native.available():
+        return native.decode(filename).astype(np.float32) / 256.0
     import cv2
     return cv2.imread(filename, cv2.IMREAD_ANYDEPTH).astype(np.float32) / 256.0
 

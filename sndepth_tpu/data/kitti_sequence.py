@@ -31,6 +31,12 @@ except Exception:  # pragma: no cover
 
 
 def _imread(path: str) -> np.ndarray:
+    from sndepth_tpu import native
+    if native.available():
+        img = native.decode(path)
+        if img.ndim == 2:
+            img = np.repeat(img[..., None], 3, axis=-1)
+        return img[..., :3]
     if _HAS_CV2:
         img = cv2.imread(path, cv2.IMREAD_COLOR)
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
