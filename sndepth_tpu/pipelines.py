@@ -118,9 +118,11 @@ class MotionStage:
 
 class RAFT3DStage:
     def __init__(self, variables=None, iters: int = 16,
-                 sample_shape=(1, 128, 416)):
+                 sample_shape=(1, 128, 416), dtype=jnp.float32):
         from sndepth_tpu.models.raft3d import RAFT3D
-        self.model = RAFT3D()
+        # dtype covers the encoders/GRU only; correlation, Gauss-Newton
+        # and SE3 math stay f32 inside the model regardless.
+        self.model = RAFT3D(dtype=dtype)
         self.iters = iters
         b, h, w = sample_shape
         if variables is None:

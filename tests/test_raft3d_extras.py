@@ -171,3 +171,30 @@ def test_gauss_newton_blocked_matches_single_shot():
     np.testing.assert_allclose(np.asarray(blocked), np.asarray(full),
                                atol=2e-5)
     assert np.isfinite(np.asarray(blocked)).all()
+
+
+def test_raft3d_bf16_encoders_finite():
+    """RAFT3D(dtype=bf16): encoders/GRU in bf16, corr/GN/SE3 still f32 —
+    outputs stay finite and close to the f32 run on a tiny problem."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sndepth_tpu.models.raft3d import RAFT3D
+
+    rng = np.random.RandomState(0)
+    b, h, w = 1, 32, 64
+    img1 = jnp.asarray(rng.rand(b, h, w, 3), jnp.float32)
+    img2 = jnp.asarray(rng.rand(b, h, w, 3), jnp.float32)
+    d = jnp.asarray(2 + rng.rand(b, h, w), jnp.float32)
+    k = jnp.asarray([[40.0, 40.0, 32.0, 16.0]])
+
+    f32 = RAFT3D(corr_levels=2, gn_radius=8, dtype=jnp.float32)
+    v = f32.init(jax.random.PRNGKey(0), img1, img2, d, d, k, iters=1)
+    out32 = f32.apply(v, img1, img2, d, d, k, iters=2)
+    bf16 = RAFT3D(corr_levels=2, gn_radius=8, dtype=jnp.bfloat16)
+    out16 = bf16.apply(v, img1, img2, d, d, k, iters=2)
+    assert np.isfinite(np.asarray(out16)).all()
+    # same params, reduced precision: fields should still be close
+    diff = np.abs(np.asarray(out16) - np.asarray(out32)).mean()
+    assert diff < 0.05, diff
