@@ -31,6 +31,46 @@ def save_checkpoint(ckpt_dir: str, state: Any, step: int,
     return path
 
 
+class AsyncCheckpointWriter:
+    """Non-blocking checkpoint saves: the device->host fetch happens on
+    the caller, serialization runs on Orbax's background threads, and the
+    train loop keeps stepping. ``wait()`` (or the next ``save``) joins the
+    in-flight write; call ``close()`` (or use as a context manager) before
+    reading the directory.
+
+    The reference blocks training on every torch.save
+    (`baseline.py:1218-1232`); on TPU the step cadence is ms-scale so a
+    blocking multi-second save is a real throughput tax.
+    """
+
+    def __init__(self, ckpt_dir: str, keep: int = 5):
+        self.ckpt_dir = os.path.abspath(ckpt_dir)
+        self.keep = keep
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+
+    def save(self, state: Any, step: int) -> str:
+        path = os.path.join(self.ckpt_dir, str(step))
+        state = jax.device_get(state)
+        self._ckptr.save(path, args=ocp.args.StandardSave(state),
+                         force=True)
+        return path
+
+    def wait(self) -> None:
+        self._ckptr.wait_until_finished()
+        _prune(self.ckpt_dir, self.keep)
+
+    def close(self) -> None:
+        self.wait()
+        self._ckptr.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def latest_step(ckpt_dir: str) -> int | None:
     if not os.path.isdir(ckpt_dir):
         return None

@@ -57,6 +57,8 @@ def train_geonet(config: GeoNetConfig, batches: Iterator[dict],
         batches = device_prefetch(batches)
 
     logger = MetricLogger(log_dir)
+    writer = (ckpt_lib.AsyncCheckpointWriter(ckpt_dir)
+              if ckpt_dir is not None else None)
     t0 = time.perf_counter()
     metrics = {}
     for i in range(start_step, max_steps):
@@ -69,12 +71,16 @@ def train_geonet(config: GeoNetConfig, batches: Iterator[dict],
         step = i + 1
         if step % log_every == 0 or step == max_steps:
             logger.log(step, jax.device_get(metrics))
-        if ckpt_dir is not None and (step % ckpt_every == 0
-                                     or step == max_steps):
+        if writer is not None and (step % ckpt_every == 0
+                                   or step == max_steps):
+            # async: serialization overlaps subsequent train steps; the
+            # next save (or the final close) joins the in-flight write
             sync_hosts("pre-checkpoint")
-            path = ckpt_lib.save_checkpoint(ckpt_dir, state, step)
+            path = writer.save(state, step)
             sync_hosts("post-checkpoint")
-            print(f"checkpoint -> {path}")
+            print(f"checkpoint (async) -> {path}")
+    if writer is not None:
+        writer.close()
     jax.block_until_ready(metrics)
     dt = time.perf_counter() - t0
     done = max(int(jax.device_get(state.step)) - start_step, 1)

@@ -68,3 +68,27 @@ def test_latest_step_and_prune(tmp_path):
     import os
     remaining = sorted(d for d in os.listdir(tmp_path) if d.isdigit())
     assert remaining == ["2", "3"]
+
+
+def test_async_checkpoint_writer_roundtrip(tmp_path):
+    """AsyncCheckpointWriter: non-blocking saves land complete and restore
+    bit-exact after close()."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sndepth_tpu.train import checkpoint as ckpt_lib
+
+    state = {"params": {"w": jnp.arange(12.0).reshape(3, 4)},
+             "step": jnp.asarray(7, jnp.int32)}
+    d = str(tmp_path / "ck")
+    with ckpt_lib.AsyncCheckpointWriter(d, keep=2) as w:
+        w.save(state, 100)
+        w.save(jax.tree_util.tree_map(lambda x: x + 1, state), 200)
+    assert ckpt_lib.latest_step(d) == 200
+    out = ckpt_lib.restore_checkpoint(d, state, 200)
+    np.testing.assert_array_equal(np.asarray(out["params"]["w"]),
+                                  np.asarray(state["params"]["w"]) + 1)
+    out100 = ckpt_lib.restore_checkpoint(d, state, 100)
+    np.testing.assert_array_equal(np.asarray(out100["params"]["w"]),
+                                  np.asarray(state["params"]["w"]))
