@@ -124,3 +124,14 @@ def test_uniad_train_step_descends():
         losses.append(val)
     assert losses[-1] < losses[0], losses
     assert int(state.step) == 6
+
+
+def test_train_uniad_cli_smoke(tmp_path):
+    """cli/train_uniad drives the clip-training path end-to-end: losses
+    printed (incl. past-traj term), loss decreases, checkpoint lands."""
+    from sndepth_tpu.cli.train_uniad import main
+
+    main(["--small", "--max_steps", "4", "--log_every", "2",
+          "--ckpt_dir", str(tmp_path / "ck")])
+    from sndepth_tpu.train import checkpoint as ckpt_lib
+    assert ckpt_lib.latest_step(str(tmp_path / "ck")) == 4
