@@ -31,11 +31,20 @@ Related XLA-level rewrites that obviated planned kernels:
   points so XLA's gather keeps locality; a Pallas gather kernel remains
   an option, not a need.
 
+Landed since (round 2):
+* ``photo_loss`` — fused warp+DSSIM+L1 forward emitting the complete
+  coordinate gradient (scalar-cotangent trick: the downstream is a summed
+  loss, so the VJP is a scalar multiply).
+* ``smooth_loss`` — edge-aware smoothness + depth gradient, same trick.
+
 Roadmap:
-* Pallas conv for the lane-starved early DispNetS layers (7x7/5x5,
-  32-64 ch): XLA sustains ~50 TFLOPS there (its structural limit with
-  out-channels-in-lanes); a 4-output-pixel-packed im2col matmul could
-  roughly double it. Convs are now ~45% of the GeoNet step.
-* Fused warp+photometric loss (halo-aware) if the loss tail ever
-  dominates again.
+* Pallas conv: largely OBSOLETED at the XLA level — the planned
+  "4-output-pixel lane packing" is exactly a 2x2 space-to-depth fold,
+  now done as exact XLA rewrites with custom lane-packed VJPs
+  (models/dispnet.py: _S2DConv w/ per-shape fold factor {1,2,4},
+  _PackedDGradDownConv, s2d_iconv_levels; FLOP census in
+  _scratch_flops_census.py). Revisit Pallas only if the post-s2d trace
+  still shows conv far under the MXU roofline.
+* UniAD deformable gather kernel: still an option, not a need
+  (0.6-0.7 ms/frame measured with trained-like offsets).
 """
