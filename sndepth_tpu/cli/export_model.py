@@ -1,0 +1,67 @@
+"""CLI: export an inference model as a serving artifact (StableHLO +
+params + meta; see sndepth_tpu/serving/export.py).
+
+No reference counterpart — the reference serves from pickled
+state_dicts + source; this produces a self-contained artifact a server
+loads without model code. Export for TPU from any host with
+``--platform tpu``.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description="Export a serving artifact")
+    p.add_argument("--model", choices=["dispnet", "nnet"],
+                   default="dispnet")
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--img_height", default=128, type=int)
+    p.add_argument("--img_width", default=416, type=int)
+    p.add_argument("--batch", default=1, type=int)
+    p.add_argument("--platform", default=None,
+                   help="lowering target, e.g. 'tpu' (default: this host)")
+    p.add_argument("--ckpt_dir", default=None,
+                   help="restore params from this checkpoint dir "
+                        "(default: fresh init)")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from sndepth_tpu.serving import export as sx
+
+    b, h, w = args.batch, args.img_height, args.img_width
+    platforms = [args.platform] if args.platform else None
+
+    if args.model == "dispnet":
+        from sndepth_tpu.models.dispnet import DispNetS
+        net = DispNetS(dtype=jnp.bfloat16)
+        x = jnp.zeros((b, h, w, 3), jnp.float32)
+        variables = jax.jit(net.init)(jax.random.PRNGKey(0), x)
+
+        def forward(params, img):
+            return net.apply(params, img)[0]   # finest disparity
+    else:
+        from sndepth_tpu.train.nnet import NormalNet
+        net = NormalNet(dtype=jnp.bfloat16)
+        x = jnp.zeros((b, h, w, 3), jnp.float32)
+        variables = jax.jit(
+            lambda r, xx: net.init(r, xx, mode="test"))(
+                jax.random.PRNGKey(0), x)
+
+        def forward(params, img):
+            return net.apply(params, img, mode="test")[0][-1]
+
+    if args.ckpt_dir:
+        from sndepth_tpu.train import checkpoint as ckpt_lib
+        variables = ckpt_lib.restore_checkpoint(args.ckpt_dir, variables)
+
+    out = sx.save_artifact(args.out_dir, forward, variables, [x],
+                           platforms=platforms)
+    print(f"exported {args.model} ({b}x{h}x{w}) -> {out}")
+
+
+if __name__ == "__main__":
+    main()
