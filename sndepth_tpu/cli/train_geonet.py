@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_ckpt_iter", default=5000, type=int)
     p.add_argument("--data_workers", default=8, type=int)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--profile_at", default=0, type=int,
+                   help="capture an XProf device trace of this step "
+                        "(0 = off); lands in <graphs_dir>/trace")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     return p
@@ -91,7 +94,8 @@ def main(argv=None) -> None:
 
     train_geonet(config, batches, max_steps, ckpt_dir=args.ckpt_dir,
                  log_dir=args.graphs_dir, ckpt_every=args.output_ckpt_iter,
-                 resume=args.resume)
+                 resume=args.resume,
+                 profile_at=args.profile_at or None)
 
 
 if __name__ == "__main__":

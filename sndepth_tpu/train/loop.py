@@ -27,7 +27,8 @@ def train_geonet(config: GeoNetConfig, batches: Iterator[dict],
                  max_steps: int, *, ckpt_dir: str | None = None,
                  log_dir: str | None = None, log_every: int = 100,
                  ckpt_every: int = 5000, resume: bool = False,
-                 use_mesh: bool = True) -> geonet.TrainState:
+                 use_mesh: bool = True,
+                 profile_at: int | None = None) -> geonet.TrainState:
     """Run ``max_steps`` train steps over ``batches``; returns final state."""
     devices = jax.devices()
     mesh = pmesh.make_mesh(devices) if (use_mesh and len(devices) > 1) else None
@@ -67,7 +68,16 @@ def train_geonet(config: GeoNetConfig, batches: Iterator[dict],
         except StopIteration:
             print("data stream exhausted")
             break
-        state, metrics = step_fn(state, batch)
+        if profile_at is not None and i + 1 == profile_at:
+            # capture one steady-state step as an XProf device trace
+            from sndepth_tpu.utils.profiling import capture_trace
+            trace_dir = (log_dir or "logs") + "/trace"
+            with capture_trace(trace_dir):
+                state, metrics = step_fn(state, batch)
+                jax.block_until_ready(metrics)
+            print(f"XProf trace (step {i + 1}) -> {trace_dir}")
+        else:
+            state, metrics = step_fn(state, batch)
         step = i + 1
         if step % log_every == 0 or step == max_steps:
             logger.log(step, jax.device_get(metrics))
