@@ -59,6 +59,8 @@ class GeoNetConfig:
     # DispNetS encoder levels whose stride-2 conv computes its data-grad
     # lane-packed (see models/dispnet._PackedDGradDownConv).
     dispnet_packed_dgrad_levels: tuple = ()
+    # Disparity heads in s2d form (see models/dispnet.DispNetS.s2d_heads).
+    dispnet_s2d_heads: bool = False
     # Same knobs for the stage-2 FlowNet (identical encoder shapes).
     flownet_s2d_levels: tuple = (0,)
     flownet_s2d_iconv_levels: tuple = ()

@@ -100,7 +100,7 @@ def _fold_factor(kernel: int, c_out: int, h: int, w: int) -> int:
     channels: maximize lane occupancy of f*f*c_out divided by the tap-FLOP
     overhead (K+f-1)^2/K^2. f=1 is the direct form."""
     best_f, best_score = 1, _occupancy(c_out)
-    for f in (2, 4):
+    for f in (2, 4, 8):
         if h % f or w % f:
             continue
         score = (_occupancy(c_out * f * f) /
@@ -475,6 +475,10 @@ class DispNetS(nn.Module):
     # 128x416 / 64x208); the 2.78x tap-FLOP overhead of the 3x3 fold is
     # paid back 4-8x in lanes.
     s2d_iconv_levels: Sequence[int] = ()
+    # Disparity heads (3x3 -> 1 channel: 1/128 lanes direct) in s2d form
+    # (the chooser picks f=8 at full res). Default off until A/B'd — XLA
+    # may already lower 1-channel convs as bandwidth-bound fusions.
+    s2d_heads: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> tuple[Array, Array, Array, Array]:
@@ -495,6 +499,8 @@ class DispNetS(nn.Module):
             feats.append(h)
         c1, c2, c3, c4, c5, c6, c7 = feats
 
+        head_idx = iter(range(4))
+
         def disp_head(h: Array) -> Array:
             # Head conv in compute dtype (MXU accumulates f32 regardless);
             # only the 1-channel sigmoid math runs in f32 so the 1/d depths
@@ -502,8 +508,13 @@ class DispNetS(nn.Module):
             # head materialized f32 copies of the 16-ch full-res feature
             # maps and its fwd+bwd convs ran at 3-5 TFLOPS (XProf r2) —
             # ~8 ms/step across scales at batch 128.
-            d = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype,
-                        kernel_init=_xavier)(h)
+            i = next(head_idx)
+            if self.s2d_heads:
+                # Same param name as the nn.Conv branch (checkpoint-exact).
+                d = _S2DConv(1, 3, self.dtype, name=f"Conv_{i}")(h)
+            else:
+                d = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype,
+                            kernel_init=_xavier, name=f"Conv_{i}")(h)
             return self.alpha * nn.sigmoid(d.astype(jnp.float32)) + self.beta
 
         s2d_i = self.s2d_iconv_levels

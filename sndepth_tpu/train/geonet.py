@@ -49,6 +49,7 @@ def build_models(config: GeoNetConfig) -> tuple[DispNetS, PoseNet]:
                             config.dispnet_s2d_iconv_levels),
                         packed_dgrad_levels=tuple(
                             config.dispnet_packed_dgrad_levels),
+                        s2d_heads=config.dispnet_s2d_heads,
                         remat=config.dispnet_remat)
     pose_net = PoseNet(num_source=config.num_source,
                        dtype=config.compute_dtype)

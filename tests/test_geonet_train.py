@@ -239,7 +239,7 @@ def test_dispnet_s2d_iconv_levels_same_params_and_outputs():
                     jnp.float32)
     net0 = DispNetS(dtype=jnp.float32, s2d_iconv_levels=())
     net1 = DispNetS(dtype=jnp.float32, s2d_iconv_levels=(4, 5, 6),
-                    packed_dgrad_levels=(1, 2))
+                    packed_dgrad_levels=(1, 2), s2d_heads=True)
     v = net0.init(jax.random.PRNGKey(0), x)
     v1 = net1.init(jax.random.PRNGKey(0), x)
     assert (jax.tree_util.tree_structure(v["params"]) ==
