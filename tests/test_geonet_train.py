@@ -293,3 +293,36 @@ def test_s2d_upconv_matches_torch_transpose():
         assert y_ref.shape == (2, 2 * h, 2 * w, c_out)
         np.testing.assert_allclose(np.asarray(y_s2d), np.asarray(y_ref),
                                    atol=1e-5)
+
+
+def test_train_step_loss_invariant_to_lane_packing_knobs():
+    """The full train step computes the same loss with every lane-packing
+    knob enabled (s2d levels, iconv s2d, packed dgrads, s2d heads,
+    flownet knobs are exercised by the stage-2 test) as with all off —
+    the knobs are compute forms, not math changes."""
+    from sndepth_tpu.core.config import GeoNetConfig
+    from sndepth_tpu.train import geonet as tg
+
+    base = GeoNetConfig(batch_size=2, img_height=32, img_width=64,
+                        compute_dtype=jnp.float32,
+                        dispnet_s2d_levels=())
+    full = GeoNetConfig(batch_size=2, img_height=32, img_width=64,
+                        compute_dtype=jnp.float32,
+                        dispnet_s2d_levels=(0, 1),
+                        dispnet_s2d_iconv_levels=(4, 5, 6),
+                        dispnet_packed_dgrad_levels=(1, 2, 3),
+                        dispnet_s2d_heads=True)
+    rng = np.random.RandomState(3)
+    batch = {
+        "tgt": jnp.asarray(rng.randint(0, 256, (2, 32, 64, 3), np.uint8)),
+        "src": jnp.asarray(rng.randint(0, 256, (2, 32, 64, 6), np.uint8)),
+        "intrinsics": jnp.asarray(np.tile(np.array(
+            [[[32.0, 0, 32.0], [0, 32.0, 16.0], [0, 0, 1]]], np.float32),
+            (2, 1, 1))),
+    }
+    state = tg.create_train_state(base)
+    _, m0 = tg.train_step(state, batch, base)
+    state1 = tg.create_train_state(full)
+    _, m1 = tg.train_step(state1, batch, full)
+    np.testing.assert_allclose(float(m1["loss_total"]),
+                               float(m0["loss_total"]), rtol=2e-5)
