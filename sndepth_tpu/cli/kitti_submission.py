@@ -26,6 +26,10 @@ def main(argv=None) -> None:
     p.add_argument("--max_frames", default=0, type=int)
     p.add_argument("--ckpt_dir", default=None,
                    help="RAFT3D checkpoint directory (optional)")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard frame batches across all devices (the "
+                        "reference wraps the model in torch.nn.DataParallel "
+                        "here, `kitti_submission.py:196`)")
     args = p.parse_args(argv)
 
     from sndepth_tpu.data.raft3d_kitti import KITTIEvalDataset, write_prediction
@@ -49,29 +53,50 @@ def main(argv=None) -> None:
         variables = {"params": ckpt_lib.restore_checkpoint(
             args.ckpt_dir, variables["params"])}
 
-    @jax.jit
-    def run(img1, img2, d1, d2, k):
+    from sndepth_tpu.ops.projective import induced_flow
+
+    def run_impl(img1, img2, d1, d2, k):
         Ts = model.apply(variables, img1, img2, d1, d2, k,
                          iters=args.iters)
         tau_phi = se3.log(Ts)
-        return Ts, tau_phi
+        flow2d, _, _ = induced_flow(Ts, d1, k)
+        return Ts, tau_phi, flow2d
+
+    nb = 1
+    if args.data_parallel and len(jax.devices()) > 1:
+        # TPU equivalent of the reference's torch DataParallel wrap:
+        # a frame batch sharded over the data mesh axis, XLA moving
+        # nothing but the inputs/outputs (the model is replicated).
+        from sndepth_tpu.parallel import mesh as pmesh
+        mesh = pmesh.make_mesh()
+        nb = mesh.shape[pmesh.DATA_AXIS]
+        bs = pmesh.batch_sharding(mesh)
+        run = jax.jit(run_impl, in_shardings=(bs,) * 5,
+                      out_shardings=(bs, bs, bs))
+        print(f"data-parallel over {nb} devices")
+    else:
+        run = jax.jit(run_impl)
 
     n = min(len(ds), args.max_frames) if args.max_frames else len(ds)
-    from sndepth_tpu.ops.projective import induced_flow
-    for i in range(n):
-        sample = ds[i]
-        img1 = jnp.asarray(sample["tgt"], jnp.float32)[None] / 255.0
-        img2 = jnp.asarray(sample["src"][..., 3:], jnp.float32)[None] / 255.0
-        d1 = jnp.full((1, h, w), 4.0)
-        d2 = jnp.full((1, h, w), 4.0)
-        k = jnp.asarray(sample["intrinsics"])[None]
-        Ts, tau_phi = run(img1, img2, d1, d2, k)
-        flow2d, _, _ = induced_flow(Ts, d1, k)
-        write_prediction(
-            args.out_dir, i, np.asarray(flow2d[0, :, :, :2]),
-            np.asarray(Ts[0]), np.asarray(tau_phi[0, ..., :3]),
-            np.asarray(tau_phi[0, ..., 3:]))
-        print(f"[{i + 1}/{n}] wrote prediction", flush=True)
+    for start in range(0, n, nb):
+        idx = list(range(start, min(start + nb, n)))
+        pad = idx + [idx[-1]] * (nb - len(idx))   # repeat-pad last chunk
+        samples = [ds[i] for i in pad]
+        img1 = jnp.asarray(np.stack(
+            [s["tgt"] for s in samples]), jnp.float32) / 255.0
+        img2 = jnp.asarray(np.stack(
+            [s["src"][..., 3:] for s in samples]), jnp.float32) / 255.0
+        d1 = jnp.full((nb, h, w), 4.0)
+        d2 = jnp.full((nb, h, w), 4.0)
+        k = jnp.asarray(np.stack([s["intrinsics"] for s in samples]))
+        Ts, tau_phi, flow2d = run(img1, img2, d1, d2, k)
+        Ts, tau_phi, flow2d = jax.device_get((Ts, tau_phi, flow2d))
+        for j, i in enumerate(idx):
+            write_prediction(
+                args.out_dir, i, np.asarray(flow2d[j, :, :, :2]),
+                np.asarray(Ts[j]), np.asarray(tau_phi[j, ..., :3]),
+                np.asarray(tau_phi[j, ..., 3:]))
+        print(f"[{idx[-1] + 1}/{n}] wrote prediction", flush=True)
 
 
 if __name__ == "__main__":

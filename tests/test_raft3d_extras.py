@@ -198,3 +198,38 @@ def test_raft3d_bf16_encoders_finite():
     # same params, reduced precision: fields should still be close
     diff = np.abs(np.asarray(out16) - np.asarray(out32)).mean()
     assert diff < 0.05, diff
+
+
+def test_kitti_submission_cli_data_parallel(tmp_path):
+    """--data_parallel shards frame chunks over the 8-device mesh and
+    writes the same artifacts as the single-device path."""
+    import os
+
+    import jax
+    import numpy as np
+    from PIL import Image
+
+    from sndepth_tpu.cli.kitti_submission import main
+
+    seq = tmp_path / "testing" / "seq"
+    cal = tmp_path / "testing" / "calib_cam_to_cam"
+    seq.mkdir(parents=True)
+    cal.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 255, (64, 96, 3), np.uint8)).save(
+            seq / f"{i:06d}.png")
+        (cal / f"{i:06d}.txt").write_text(
+            "K_02: 50.0 0.0 48.0 0.0 50.0 32.0 0.0 0.0 1.0\n")
+
+    common = ["--root", str(tmp_path), "--iters", "2",
+              "--img_height", "32", "--img_width", "64"]
+    main(common + ["--out_dir", str(tmp_path / "o1")])
+    main(common + ["--out_dir", str(tmp_path / "odp"), "--data_parallel"])
+    for sub in ("flow", "T", "tau", "phi"):
+        a = sorted(os.listdir(tmp_path / "o1" / sub))
+        b = sorted(os.listdir(tmp_path / "odp" / sub))
+        assert a == b and len(a) == 3, (sub, a, b)
+    t1 = np.loadtxt(tmp_path / "o1" / "T" / "000001.txt")
+    t2 = np.loadtxt(tmp_path / "odp" / "T" / "000001.txt")
+    np.testing.assert_allclose(t2, t1, rtol=1e-4, atol=1e-5)
