@@ -295,6 +295,7 @@ def test_s2d_upconv_matches_torch_transpose():
                                    atol=1e-5)
 
 
+@pytest.mark.slow
 def test_train_step_loss_invariant_to_lane_packing_knobs():
     """The full train step computes the same loss with every lane-packing
     knob enabled (s2d levels, iconv s2d, packed dgrads, s2d heads,

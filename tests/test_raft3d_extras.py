@@ -200,6 +200,7 @@ def test_raft3d_bf16_encoders_finite():
     assert diff < 0.05, diff
 
 
+@pytest.mark.slow
 def test_kitti_submission_cli_data_parallel(tmp_path):
     """--data_parallel shards frame chunks over the 8-device mesh and
     writes the same artifacts as the single-device path."""
