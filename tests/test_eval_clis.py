@@ -153,3 +153,19 @@ def test_evaluate_motion_cli_e2e(tmp_path, capsys):
     assert out.startswith("mIoU:")
     miou = float(out.split(":", 1)[1])
     assert 0.0 <= miou <= 1.0
+
+
+def test_benchmark_cli_smoke():
+    """cli/benchmark runs a family end-to-end and prints a JSON line."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from sndepth_tpu.cli.benchmark import main
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["--family", "motion", "--batch", "1", "--img_height", "32",
+              "--img_width", "64", "--iters", "1"])
+    rec = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rec["family"] == "motion" and rec["value"] > 0
