@@ -23,8 +23,9 @@ def main(argv=None) -> None:
     p.add_argument("--platform", default=None,
                    help="lowering target, e.g. 'tpu' (default: this host)")
     p.add_argument("--ckpt_dir", default=None,
-                   help="restore params from this checkpoint dir "
-                        "(default: fresh init)")
+                   help="restore params from a training checkpoint dir "
+                        "(cli/train_geonet for dispnet, cli/train_nnet "
+                        "for nnet; default: fresh init)")
     args = p.parse_args(argv)
 
     import jax
@@ -55,8 +56,30 @@ def main(argv=None) -> None:
             return net.apply(params, img, mode="test")[0][-1]
 
     if args.ckpt_dir:
+        # Checkpoints hold full train states (params + opt + step + rng);
+        # restore into the matching state template and take the params.
         from sndepth_tpu.train import checkpoint as ckpt_lib
-        variables = ckpt_lib.restore_checkpoint(args.ckpt_dir, variables)
+        if args.model == "dispnet":
+            from sndepth_tpu.core.config import GeoNetConfig
+            from sndepth_tpu.train.geonet import create_train_state
+            cfg = GeoNetConfig(img_height=h, img_width=w)
+            state = ckpt_lib.restore_checkpoint(args.ckpt_dir,
+                                                create_train_state(cfg))
+            params = (state["params"] if isinstance(state, dict)
+                      else state.params)
+            variables = {"params": jax.tree_util.tree_map(
+                jnp.asarray, params["disp"])}
+        else:
+            from sndepth_tpu.train.nnet import create_train_state as cts
+            state = ckpt_lib.restore_checkpoint(
+                args.ckpt_dir, cts(jax.random.PRNGKey(0)))
+            params = (state["params"] if isinstance(state, dict)
+                      else state.params)
+            variables = {"params": jax.tree_util.tree_map(
+                jnp.asarray, params),
+                "batch_stats": jax.tree_util.tree_map(
+                    jnp.asarray, state["batch_stats"]
+                    if isinstance(state, dict) else state.batch_stats)}
 
     out = sx.save_artifact(args.out_dir, forward, variables, [x],
                            platforms=platforms)

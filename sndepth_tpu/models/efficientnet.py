@@ -109,15 +109,17 @@ class ShiftDepthwise(nn.Module):
                      ((0, 0), (pad_h // 2, pad_h - pad_h // 2),
                       (pad_w // 2, pad_w - pad_w // 2), (0, 0)))
         wdt = w.astype(self.dtype)
-        out = jnp.zeros((b_, ho, wo, c), self.dtype)
+        # accumulate in f32 like the conv lowering (MXU/conv accumulators
+        # are f32 even for bf16 inputs); products stay in compute dtype
+        out = jnp.zeros((b_, ho, wo, c), jnp.float32)
         for u in range(k):
             for v in range(k):
                 sl = jax.lax.slice(
                     xp, (0, u, v, 0),
                     (b_, u + (ho - 1) * s + 1, v + (wo - 1) * s + 1, c),
                     (1, s, s, 1))
-                out = out + sl * wdt[u, v, 0]
-        return out
+                out = out + (sl * wdt[u, v, 0]).astype(jnp.float32)
+        return out.astype(self.dtype)
 
 
 class MBConv(nn.Module):

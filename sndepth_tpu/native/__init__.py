@@ -69,6 +69,12 @@ def _load():
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int]
         lib.snd_decode_batch.restype = ctypes.c_int
+        lib.snd_decode_alloc.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_void_p)] + \
+            [ctypes.POINTER(ctypes.c_int)] * 4
+        lib.snd_decode_alloc.restype = ctypes.c_int
+        lib.snd_free.argtypes = [ctypes.c_void_p]
+        lib.snd_free.restype = None
         _lib = lib
         return _lib
 
@@ -95,18 +101,32 @@ def probe(path: str) -> tuple[int, int, int, int]:
 
 def decode(path: str) -> np.ndarray:
     """Decode one PNG (8/16-bit, any channels) or JPEG. Returns (H, W) or
-    (H, W, C), dtype uint8 or uint16 — same array PIL/cv2 would give."""
+    (H, W, C), dtype uint8 or uint16 — same array PIL/cv2 would give.
+
+    Single file read (C-side alloc + one memcpy into numpy)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native codecs unavailable")
-    h, w, c, bits = probe(path)
-    dtype = np.uint16 if bits == 16 else np.uint8
-    out = np.empty((h, w, c), dtype)
-    rc = lib.snd_decode(path.encode(),
-                        out.ctypes.data_as(ctypes.c_void_p), h, w, c, bits)
+    buf = ctypes.c_void_p()
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    c = ctypes.c_int()
+    b = ctypes.c_int()
+    rc = lib.snd_decode_alloc(path.encode(), ctypes.byref(buf),
+                              ctypes.byref(h), ctypes.byref(w),
+                              ctypes.byref(c), ctypes.byref(b))
     if rc:
         raise IOError(f"decode({path}) failed rc={rc}")
-    return out[..., 0] if c == 1 else out
+    try:
+        dtype = np.uint16 if b.value == 16 else np.uint8
+        nbytes = h.value * w.value * c.value * dtype().itemsize
+        src = np.ctypeslib.as_array(
+            ctypes.cast(buf, ctypes.POINTER(ctypes.c_uint8)),
+            shape=(nbytes,))
+        out = src.view(dtype).reshape(h.value, w.value, c.value).copy()
+    finally:
+        lib.snd_free(buf)
+    return out[..., 0] if c.value == 1 else out
 
 
 def decode_batch(paths: list[str], nthreads: int | None = None

@@ -11,6 +11,7 @@
 // API gamma surprises) and returned host-endian.
 
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <cstdint>
 #include <csetjmp>
@@ -71,10 +72,14 @@ void png_mem_read(png_structp png, png_bytep out, png_size_t want) {
   r->pos += want;
 }
 
-// Decode PNG. bits_out: 8 or 16 requested; returns actual. out may be
-// null (probe). Returns 0 ok, <0 error.
+// Decode PNG. out may be null (probe). When exp_h >= 0, the decoded
+// dims/bits must equal (exp_h, exp_w, exp_c, exp_bits) — checked BEFORE
+// any pixel is written (the caller's buffer is sized for them).
+// Returns 0 ok, <0 error.
 int decode_png(const unsigned char* data, size_t size, void* out,
-               int* h, int* w, int* c, int* bits) {
+               int* h, int* w, int* c, int* bits,
+               int exp_h = -1, int exp_w = -1, int exp_c = -1,
+               int exp_bits = -1) {
   png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING,
                                            nullptr, nullptr, nullptr);
   if (!png) return -2;
@@ -117,6 +122,11 @@ int decode_png(const unsigned char* data, size_t size, void* out,
     png_destroy_read_struct(&png, &info, nullptr);
     return 0;
   }
+  if (exp_h >= 0 && (*h != exp_h || *w != exp_w || *c != exp_c ||
+                     obits != exp_bits)) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return -5;   // dims changed since probe / mixed-size batch
+  }
   size_t stride = static_cast<size_t>(width) * channels * (obits / 8);
   std::vector<png_bytep> rows(height);
   for (png_uint_32 i = 0; i < height; ++i)
@@ -126,9 +136,11 @@ int decode_png(const unsigned char* data, size_t size, void* out,
   return 0;
 }
 
-// Decode baseline/progressive JPEG to 8-bit RGB (or gray).
+// Decode baseline/progressive JPEG to 8-bit RGB (or gray). Dim check as
+// in decode_png — before any scanline lands in the caller's buffer.
 int decode_jpeg(const unsigned char* data, size_t size, unsigned char* out,
-                int* h, int* w, int* c) {
+                int* h, int* w, int* c,
+                int exp_h = -1, int exp_w = -1, int exp_c = -1) {
   jpeg_decompress_struct cinfo;
   JErr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -149,6 +161,11 @@ int decode_jpeg(const unsigned char* data, size_t size, unsigned char* out,
     jpeg_abort_decompress(&cinfo);
     jpeg_destroy_decompress(&cinfo);
     return 0;
+  }
+  if (exp_h >= 0 && (*h != exp_h || *w != exp_w || *c != exp_c)) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return -5;
   }
   size_t stride =
       static_cast<size_t>(cinfo.output_width) * cinfo.output_components;
@@ -179,24 +196,64 @@ int snd_probe(const char* path, int* h, int* w, int* c, int* bits) {
 }
 
 // Decode into caller buffer of h*w*c*(bits/8) bytes (from snd_probe).
+// Dims are validated against the file BEFORE any pixel is written.
 int snd_decode(const char* path, void* out, int h, int w, int c, int bits) {
   std::vector<unsigned char> buf = slurp(path);
   if (buf.empty()) return -1;
   int hh, ww, cc, bb;
-  int rc;
   if (is_png(buf.data(), buf.size()))
-    rc = decode_png(buf.data(), buf.size(), out, &hh, &ww, &cc, &bb);
-  else if (is_jpeg(buf.data(), buf.size())) {
-    bb = 8;
-    rc = decode_jpeg(buf.data(), buf.size(),
-                     static_cast<unsigned char*>(out), &hh, &ww, &cc);
-  } else {
-    return -4;
+    return decode_png(buf.data(), buf.size(), out, &hh, &ww, &cc, &bb,
+                      h, w, c, bits);
+  if (is_jpeg(buf.data(), buf.size())) {
+    if (bits != 8) return -5;
+    return decode_jpeg(buf.data(), buf.size(),
+                       static_cast<unsigned char*>(out), &hh, &ww, &cc,
+                       h, w, c);
   }
-  if (rc) return rc;
-  if (hh != h || ww != w || cc != c || bb != bits) return -5;
-  return 0;
+  return -4;
 }
+
+// Single-read decode: C allocates the pixel buffer (free with snd_free)
+// and reports dims — avoids the probe-then-decode double file read.
+int snd_decode_alloc(const char* path, void** out, int* h, int* w, int* c,
+                     int* bits) {
+  std::vector<unsigned char> buf = slurp(path);
+  if (buf.empty()) return -1;
+  int rc;
+  if (is_png(buf.data(), buf.size())) {
+    rc = decode_png(buf.data(), buf.size(), nullptr, h, w, c, bits);
+    if (rc) return rc;
+    size_t n = static_cast<size_t>(*h) * *w * *c * (*bits / 8);
+    void* p = std::malloc(n);
+    if (!p) return -6;
+    rc = decode_png(buf.data(), buf.size(), p, h, w, c, bits);
+    if (rc) {
+      std::free(p);
+      return rc;
+    }
+    *out = p;
+    return 0;
+  }
+  if (is_jpeg(buf.data(), buf.size())) {
+    *bits = 8;
+    rc = decode_jpeg(buf.data(), buf.size(), nullptr, h, w, c);
+    if (rc) return rc;
+    size_t n = static_cast<size_t>(*h) * *w * *c;
+    void* p = std::malloc(n);
+    if (!p) return -6;
+    rc = decode_jpeg(buf.data(), buf.size(),
+                     static_cast<unsigned char*>(p), h, w, c);
+    if (rc) {
+      std::free(p);
+      return rc;
+    }
+    *out = p;
+    return 0;
+  }
+  return -4;
+}
+
+void snd_free(void* p) { std::free(p); }
 
 // Threaded batch decode of n same-shaped images into out (n, h, w, c).
 // Returns 0 if every file decoded, else -(1 + index of first failure).

@@ -50,6 +50,10 @@ class AsyncCheckpointWriter:
         self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
 
     def save(self, state: Any, step: int) -> str:
+        # join the previous in-flight write, then prune to the keep policy
+        # before starting the next one (disk holds <= keep + 1 transiently)
+        self._ckptr.wait_until_finished()
+        _prune(self.ckpt_dir, self.keep)
         path = os.path.join(self.ckpt_dir, str(step))
         state = jax.device_get(state)
         self._ckptr.save(path, args=ocp.args.StandardSave(state),

@@ -74,7 +74,10 @@ def train_geonet(config: GeoNetConfig, batches: Iterator[dict],
             trace_dir = (log_dir or "logs") + "/trace"
             with capture_trace(trace_dir):
                 state, metrics = step_fn(state, batch)
-                jax.block_until_ready(metrics)
+                # force execution inside the trace window: on the remote
+                # runtime block_until_ready returns early (CLAUDE.md) —
+                # only a host fetch of the result is an honest barrier
+                jax.device_get(metrics)
             print(f"XProf trace (step {i + 1}) -> {trace_dir}")
         else:
             state, metrics = step_fn(state, batch)

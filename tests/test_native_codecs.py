@@ -79,3 +79,16 @@ def test_batch_decode_reports_failures(tmp_path):
     Image.fromarray(img).save(p)
     with pytest.raises(IOError):
         native.decode_batch([p, str(tmp_path / "missing.png")])
+
+
+def test_batch_decode_rejects_mixed_sizes(tmp_path):
+    """A batch whose later images differ in dims must error cleanly (the
+    decoder validates dims BEFORE writing into the shared buffer)."""
+    from PIL import Image
+    rng = np.random.RandomState(4)
+    p1 = str(tmp_path / "a.png")
+    p2 = str(tmp_path / "b.png")
+    Image.fromarray(rng.randint(0, 255, (16, 16, 3), np.uint8)).save(p1)
+    Image.fromarray(rng.randint(0, 255, (64, 64, 3), np.uint8)).save(p2)
+    with pytest.raises(IOError):
+        native.decode_batch([p1, p2])

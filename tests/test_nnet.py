@@ -242,3 +242,25 @@ def test_normalnet_shift_depthwise_same_params_and_outputs():
     for key in f0:
         np.testing.assert_allclose(np.asarray(f1[key]), np.asarray(f0[key]),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_shift_depthwise_bf16_close_to_f32():
+    """bf16 ShiftDepthwise accumulates in f32 (like the conv lowering) and
+    stays close to the f32 result."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sndepth_tpu.models.efficientnet import ShiftDepthwise
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 12, 16, 24), jnp.float32)
+    ref = nn.Conv(24, (5, 5), padding="SAME", feature_group_count=24,
+                  use_bias=False, dtype=jnp.float32)
+    v = ref.init(jax.random.PRNGKey(0), x)
+    y32 = ShiftDepthwise(24, 5, 1, jnp.float32).apply(v, x)
+    y16 = ShiftDepthwise(24, 5, 1, jnp.bfloat16).apply(v, x)
+    assert y16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(y16, np.float32),
+                               np.asarray(y32), rtol=0.05, atol=0.05)
