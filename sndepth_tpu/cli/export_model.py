@@ -10,12 +10,15 @@ loads without model code. Export for TPU from any host with
 from __future__ import annotations
 
 import argparse
+import functools
 
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description="Export a serving artifact")
-    p.add_argument("--model", choices=["dispnet", "nnet"],
+    p.add_argument("--model", choices=["dispnet", "nnet", "raft3d"],
                    default="dispnet")
+    p.add_argument("--iters", default=16, type=int,
+                   help="RAFT3D refinement iterations (raft3d export)")
     p.add_argument("--out_dir", required=True)
     p.add_argument("--img_height", default=128, type=int)
     p.add_argument("--img_width", default=416, type=int)
@@ -44,6 +47,31 @@ def main(argv=None) -> None:
 
         def forward(params, img):
             return net.apply(params, img)[0]   # finest disparity
+    elif args.model == "raft3d":
+        from sndepth_tpu.models.raft3d import RAFT3D
+        net = RAFT3D()
+        img = jnp.zeros((b, h, w, 3), jnp.float32)
+        d = jnp.ones((b, h, w), jnp.float32)
+        kvec = jnp.ones((b, 4), jnp.float32)
+        variables = jax.jit(functools.partial(net.init, iters=1))(
+            jax.random.PRNGKey(0), img, img, d, d, kvec)
+        inputs = [img, img, d, d, kvec]
+
+        def forward(params, i1, i2, d1, d2, k):
+            return net.apply(params, i1, i2, d1, d2, k, iters=args.iters)
+
+        if args.ckpt_dir:
+            from sndepth_tpu.train import checkpoint as ckpt_lib
+            from sndepth_tpu.train.raft3d import create_train_state as rts
+            state = ckpt_lib.restore_checkpoint(
+                args.ckpt_dir, rts(jax.random.PRNGKey(0), net))
+            variables = {"params": jax.tree_util.tree_map(
+                jnp.asarray, state["params"] if isinstance(state, dict)
+                else state.params)}
+        out = sx.save_artifact(args.out_dir, forward, variables, inputs,
+                               platforms=platforms)
+        print(f"exported raft3d ({b}x{h}x{w}, {args.iters} iters) -> {out}")
+        return
     else:
         from sndepth_tpu.train.nnet import NormalNet
         net = NormalNet(dtype=jnp.bfloat16)

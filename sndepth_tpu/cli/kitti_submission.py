@@ -26,6 +26,8 @@ def main(argv=None) -> None:
     p.add_argument("--max_frames", default=0, type=int)
     p.add_argument("--ckpt_dir", default=None,
                    help="RAFT3D checkpoint directory (optional)")
+    p.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
+                   help="RAFT3D encoder/GRU compute dtype")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard frame batches across all devices (the "
                         "reference wraps the model in torch.nn.DataParallel "
@@ -42,7 +44,8 @@ def main(argv=None) -> None:
         print(f"no frames under {args.root}/testing/seq — nothing to do")
         return
 
-    model = RAFT3D()
+    model = RAFT3D(dtype=jnp.bfloat16 if args.dtype == "bf16"
+                   else jnp.float32)
     h, w = args.img_height, args.img_width
     dummy = jnp.zeros((1, h, w, 3))
     dummy_d = jnp.full((1, h, w), 4.0)

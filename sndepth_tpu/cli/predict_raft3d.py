@@ -21,6 +21,9 @@ def main(argv=None) -> None:
     p.add_argument("--iters", default=16, type=int)
     p.add_argument("--max_batches", default=1, type=int)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
+                   help="RAFT3D encoder/GRU compute dtype (corr/GN/SE3 "
+                        "stay f32)")
     args = p.parse_args(argv)
 
     from sndepth_tpu.core.config import GeoNetConfig
@@ -33,7 +36,9 @@ def main(argv=None) -> None:
                           compute_dtype=jnp.float32)
     geonet = GeoNetStage(config)
     nnet = NNETStage(sample_shape=(b, h, w))
-    raft3d = RAFT3DStage(iters=args.iters, sample_shape=(b, h, w))
+    raft3d = RAFT3DStage(iters=args.iters, sample_shape=(b, h, w),
+                         dtype=jnp.bfloat16 if args.dtype == "bf16"
+                         else jnp.float32)
 
     it = synthetic_batches(b, h, w)
     os.makedirs(args.out_dir, exist_ok=True)
