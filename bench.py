@@ -70,18 +70,13 @@ def main() -> None:
                      np.float32), (batch, 1, 1))),
     }
 
-    # Two supported configurations, selected by measurement in this same
-    # run (both exact — the lane-packing knobs are compute forms, loss-
-    # parity tested): the measured-default config and the fully
-    # lane-packed decoder/backward config.
-    candidates = {
-        "default": base,
-        "lane_packed": GeoNetConfig(
-            batch_size=batch, compute_dtype=jnp.bfloat16,
-            dispnet_s2d_iconv_levels=(4, 5, 6),
-            dispnet_packed_dgrad_levels=(1, 2, 3),
-            dispnet_s2d_heads=True),
-    }
+    # One measured-optimal configuration. The round-2 on-TPU A/B sweep
+    # (2026-08-18) showed every extra lane-packing knob loses vs the
+    # default: iconv s2d 1915 f/s, packed dgrad 1972, s2d heads 1880,
+    # default 2002; disabling the level-0 s2d conv costs 57 ms/step
+    # (1542 f/s). The knobs stay available in GeoNetConfig but default
+    # off; bench measures the winner only.
+    candidates = {"default": base}
     results = {}
     for name, cfg in candidates.items():
         results[name] = _measure(cfg, batch_data)

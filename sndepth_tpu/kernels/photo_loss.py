@@ -47,7 +47,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from sndepth_tpu.kernels.warp import (_LANE, _SUB, _round_up, _warp_tile)
+from sndepth_tpu.kernels.warp import (_LANE, _NMETA, _SUB, _round_up,
+                                      _warp_tile, tile_meta)
 
 Array = jax.Array
 
@@ -68,9 +69,9 @@ def _pool3(pbuf, val, h, w):
     return (col[:, 0:w] + col[:, 1:w + 1] + col[:, 2:w + 2]) / 9.0
 
 
-def _kernel(x_ref, y_ref, src_ref, tgt_ref, loss_ref, dx_ref, dy_ref,
-            wbuf, txbuf, tybuf, pbuf, *, h, w, ht, wt, nch, mode, alpha,
-            need_grad):
+def _kernel(x_ref, y_ref, src_ref, tgt_ref, meta_ref, loss_ref, dx_ref,
+            dy_ref, wbuf, txbuf, tybuf, pbuf, *, h, w, ht, wt, nch, mode,
+            alpha, need_grad):
     """One grid step = one batch image: warp all tiles into VMEM scratch,
     then the full loss + analytic coordinate gradient on the planes."""
     htp, wtp = x_ref.shape[1], x_ref.shape[2]
@@ -82,6 +83,7 @@ def _kernel(x_ref, y_ref, src_ref, tgt_ref, loss_ref, dx_ref, dy_ref,
         co = pl.multiple_of((i % ncol) * _LANE, _LANE)
         x = x_ref[0, pl.ds(ro, _SUB), pl.ds(co, _LANE)]
         y = y_ref[0, pl.ds(ro, _SUB), pl.ds(co, _LANE)]
+        meta = tuple(meta_ref[0, i, k] for k in range(_NMETA))
 
         def store(accs, txs, tys):
             for ch in range(nch):
@@ -91,7 +93,7 @@ def _kernel(x_ref, y_ref, src_ref, tgt_ref, loss_ref, dx_ref, dy_ref,
                     tybuf[ch, pl.ds(ro, _SUB), pl.ds(co, _LANE)] = tys[ch]
 
         _warp_tile(x, y, src_ref, h, w, nch, mode,
-                   save_tangents=need_grad, store=store)
+                   save_tangents=need_grad, store=store, meta=meta)
         return 0
 
     jax.lax.fori_loop(0, ntile, tile_body, 0)
@@ -188,6 +190,8 @@ def _run(tgt, src, coords, alpha, mode, need_grad):
         tgt, src, coords)
     hp, wp = src_p.shape[2], src_p.shape[3]
     grid = (b,)
+    ntile = (htp // _SUB) * (wtp // _LANE)
+    meta = tile_meta(xs, ys, h, w, mode, hp, wp)
     cspec = pl.BlockSpec((1, htp, wtp), lambda bi: (bi, 0, 0),
                          memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
@@ -200,7 +204,10 @@ def _run(tgt, src, coords, alpha, mode, need_grad):
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, nch, htp, wtp),
                                lambda bi: (bi, 0, 0, 0),
-                               memory_space=pltpu.VMEM)],
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, ntile, _NMETA),
+                               lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.SMEM)],
         out_specs=(pl.BlockSpec((1, _SUB, _LANE), lambda bi: (bi, 0, 0),
                                 memory_space=pltpu.VMEM),
                    cspec, cspec),
@@ -212,7 +219,7 @@ def _run(tgt, src, coords, alpha, mode, need_grad):
                         pltpu.VMEM((nch, htp, wtp), jnp.float32),
                         pltpu.VMEM((htp + 2, wtp + 2), jnp.float32)],
         interpret=_interpret(),
-    )(xs, ys, src_p, tgt_p)
+    )(xs, ys, src_p, tgt_p, meta)
     loss_part, dxp, dyp = outs
     loss = jnp.sum(loss_part)
     if not need_grad:

@@ -123,19 +123,79 @@ def _tap_setup(x, y, h, w, mode):
 
 
 _CWIN = 2             # fast-path lane-chunk window
+_NMETA = 8            # per-tile scalar-metadata fields (see tile_meta)
 
 
-def _row_chunk_loop(img_ref, nch, x0i, x1i, y0i, y1i, per_row_chunk, init):
+def tile_meta(xs: Array, ys: Array, h: int, w: int, mode: str,
+              hp: int, wp: int) -> Array:
+    """Per-(8,128)-tile scalar metadata, computed in XLA.
+
+    Inside the kernel, every tile decision (path select, window bases,
+    slow-path loop bounds) needs full-tile min/max reductions read into
+    scalar registers. Each vector->scalar read stalls the scalar unit on
+    the vector pipeline, and the subsequent dynamic loads stall the vector
+    unit on the scalar result — measured as the dominant cost of the tile
+    loop (64 tiles/image serialize ~6 reductions each). Precomputing the
+    same quantities here (one fused elementwise+reduce pass over the coord
+    planes) and handing them to the kernel through SMEM breaks the
+    dependency chain: the scalar core streams ahead on ready SMEM values.
+
+    Returns int32 (B, n_tiles, _NMETA) with fields
+    [path(0=band2|1=band3|2=slow), gb, cbase2, cbase3, ymin, ymax,
+     cmin, cmax] — exactly the values `_warp_tile` would compute.
+    """
+    b, htp, wtp = xs.shape
+    x0i, x1i, y0i, y1i, *_ = _tap_setup(
+        xs.astype(jnp.float32), ys.astype(jnp.float32), h, w, mode)
+    nr, nc = htp // _SUB, wtp // _LANE
+
+    def t(a):
+        return a.reshape(b, nr, _SUB, nc, _LANE)
+
+    y0t, y1t, x0t, x1t = t(y0i), t(y1i), t(x0i), t(x1i)
+    ymin = y0t.min(axis=(2, 4))
+    ymax = y1t.max(axis=(2, 4))
+    cmin = x0t.min(axis=(2, 4)) // _LANE
+    cmax = x1t.max(axis=(2, 4)) // _LANE
+    ybar = y0t.min(axis=4, keepdims=True)
+    spread_ok = (y0t - ybar).max(axis=(2, 4)) <= 1
+
+    nchunk = wp // _LANE
+    cwin = min(_CWIN, nchunk)
+    cwin3 = min(3, nchunk)
+    ngrp = min(_TGRP, (hp // _SUB))
+    win = ngrp * _SUB
+
+    gb = jnp.clip((ymin // _SUB) * _SUB, 0, hp - win)
+    row_ok = (ymax - gb) < win
+    cbase2 = jnp.clip(cmin, 0, nchunk - cwin)
+    band2_ok = spread_ok & row_ok & ((cmax - cbase2) < cwin)
+    cbase3 = jnp.clip(cmin, 0, nchunk - cwin3)
+    band3_ok = (spread_ok & row_ok & jnp.logical_not(band2_ok)
+                & ((cmax - cbase3) < cwin3))
+    path = jnp.where(band2_ok, 0, jnp.where(band3_ok, 1, 2))
+    meta = jnp.stack([path, gb, cbase2, cbase3, ymin, ymax, cmin, cmax],
+                     axis=-1)
+    return meta.reshape(b, nr * nc, _NMETA).astype(jnp.int32)
+
+
+def _row_chunk_loop(img_ref, nch, x0i, x1i, y0i, y1i, per_row_chunk, init,
+                    bounds=None):
     """Drive the dynamic row-span x chunk-span loop (slow/general path).
 
     ``per_row_chunk(carry, wk_args, gathered)`` gets, per (row, chunk):
     the chunk-membership-masked per-channel taps g0/g1 lists and the
-    (y0==k, y1==k) masks, and folds them into the carry.
+    (y0==k, y1==k) masks, and folds them into the carry. ``bounds``
+    optionally supplies precomputed (ymin, ymax, cmin, cmax) scalars
+    (see :func:`tile_meta`).
     """
-    ymin = jnp.min(y0i)
-    ymax = jnp.max(y1i)
-    cmin = jnp.min(x0i) // _LANE
-    cmax = jnp.max(x1i) // _LANE
+    if bounds is None:
+        ymin = jnp.min(y0i)
+        ymax = jnp.max(y1i)
+        cmin = jnp.min(x0i) // _LANE
+        cmax = jnp.max(x1i) // _LANE
+    else:
+        ymin, ymax, cmin, cmax = bounds
     r0 = x0i % _LANE
     r1 = x1i % _LANE
     q0 = x0i // _LANE
@@ -174,7 +234,8 @@ _TGRP = 3             # aligned 8-row groups backing the direct-path window
                       # spread before the slow path kicks in)
 
 
-def _warp_tile(x, y, img_ref, h, w, nch, mode, save_tangents, store):
+def _warp_tile(x, y, img_ref, h, w, nch, mode, save_tangents, store,
+               meta=None):
     """Compute one (8, 128) output tile of the bilinear warp.
 
     ``x``/``y`` are the tile's f32 source coordinates, ``img_ref`` a
@@ -214,26 +275,35 @@ def _warp_tile(x, y, img_ref, h, w, nch, mode, save_tangents, store):
     q0 = x0i // _LANE
     q1 = x1i // _LANE
 
-    cminv = jnp.min(q0)
-    cmaxv = jnp.max(q1)
-
-    # Window base: align min source row down to an 8-row group. y0i is
-    # clipped to [0, h-1] in _tap_setup, so y0rel >= 0 always holds.
-    gb = jnp.clip((jnp.min(y0i) // _SUB) * _SUB, 0, hp - win)
+    nchunk = wp // _LANE
+    cwin3 = min(3, nchunk)
     ybar = jnp.min(y0i, axis=1, keepdims=True)      # per-sublane base row
     d0 = y0i - jnp.broadcast_to(ybar, y0i.shape)    # 0/1 under spread_ok
     d1 = y1i - jnp.broadcast_to(ybar, y0i.shape)    # 0/1/2 (clip at h-1)
-    spread_ok = jnp.max(d0) <= 1
-    row_ok = jnp.max(y1i) - gb < win
 
-    nchunk = wp // _LANE
-    cbase2 = jnp.clip(cminv, 0, nchunk - cwin)
-    band2_ok = spread_ok & row_ok & (cmaxv - cbase2 < cwin)
-    cwin3 = min(3, nchunk)
-    cbase3 = jnp.clip(cminv, 0, nchunk - cwin3)
-    band3_ok = (spread_ok & row_ok & jnp.logical_not(band2_ok)
-                & (cmaxv - cbase3 < cwin3))
-    run_slow = jnp.logical_not(band2_ok | band3_ok)
+    if meta is None:
+        cminv = jnp.min(q0)
+        cmaxv = jnp.max(q1)
+        # Window base: align min source row down to an 8-row group. y0i is
+        # clipped to [0, h-1] in _tap_setup, so y0rel >= 0 always holds.
+        gb = jnp.clip((jnp.min(y0i) // _SUB) * _SUB, 0, hp - win)
+        spread_ok = jnp.max(d0) <= 1
+        row_ok = jnp.max(y1i) - gb < win
+        cbase2 = jnp.clip(cminv, 0, nchunk - cwin)
+        band2_ok = spread_ok & row_ok & (cmaxv - cbase2 < cwin)
+        cbase3 = jnp.clip(cminv, 0, nchunk - cwin3)
+        band3_ok = (spread_ok & row_ok & jnp.logical_not(band2_ok)
+                    & (cmaxv - cbase3 < cwin3))
+        run_slow = jnp.logical_not(band2_ok | band3_ok)
+        slow_bounds = None
+    else:
+        # Scalars precomputed in XLA (tile_meta) and read from SMEM: no
+        # vector->scalar reductions on the critical path.
+        path, gb, cbase2, cbase3, ymin_m, ymax_m, cminv, cmaxv = meta
+        band2_ok = path == 0
+        band3_ok = path == 1
+        run_slow = path == 2
+        slow_bounds = (ymin_m, ymax_m, cminv, cmaxv)
 
     def _preload(cbase, ncw):
         blocks = {}
@@ -332,12 +402,12 @@ def _warp_tile(x, y, img_ref, h, w, nch, mode, save_tangents, store):
                       for _ in range(nch))
         accs, txs, tys = _row_chunk_loop(
             img_ref, nch, x0i, x1i, y0i, y1i, fold,
-            (zeros, zeros, zeros))
+            (zeros, zeros, zeros), bounds=slow_bounds)
         store(list(accs), list(txs), list(tys))
 
 
-def _fwd_kernel(x_ref, y_ref, img_ref, out_ref, *refs, h, w, nch, mode,
-                save_tangents):
+def _fwd_kernel(x_ref, y_ref, img_ref, meta_ref, out_ref, *refs, h, w,
+                nch, mode, save_tangents):
     """Forward warp over _TPS stacked tiles; with ``save_tangents`` also
     emits the coordinate tangent planes from the *same* gathers (the
     gathers dominate, the extra fmas are ~free):
@@ -357,6 +427,7 @@ def _fwd_kernel(x_ref, y_ref, img_ref, out_ref, *refs, h, w, nch, mode,
         sl = pl.ds(ro, _SUB)
         x = x_ref[0, sl].astype(jnp.float32)
         y = y_ref[0, sl].astype(jnp.float32)
+        meta = tuple(meta_ref[0, t, 0, k] for k in range(_NMETA))
 
         def store(accs, txs, tys):
             for ch in range(nch):
@@ -365,7 +436,8 @@ def _fwd_kernel(x_ref, y_ref, img_ref, out_ref, *refs, h, w, nch, mode,
                     tx_ref[0, ch, sl] = txs[ch]
                     ty_ref[0, ch, sl] = tys[ch]
 
-        _warp_tile(x, y, img_ref, h, w, nch, mode, save_tangents, store)
+        _warp_tile(x, y, img_ref, h, w, nch, mode, save_tangents, store,
+                   meta=meta)
         return 0
 
     jax.lax.fori_loop(0, _TPS, tile_body, 0)
@@ -433,6 +505,12 @@ def _forward(imgs, coords, mode, save_tangents=False):
     planes, xs, ys, (b, h, w, nch, ht, wt, htp, wtp) = _prep(imgs, coords)
     hp, wp = planes.shape[2], planes.shape[3]
     grid = (b, htp // (_SUB * _TPS), wtp // _LANE)
+    ncol = wtp // _LANE
+    meta = tile_meta(xs, ys, h, w, mode, hp, wp).reshape(
+        b, htp // _SUB, ncol, _NMETA)
+    meta_spec = pl.BlockSpec((1, _TPS, 1, _NMETA),
+                             lambda bi, hb, wb: (bi, hb, wb, 0),
+                             memory_space=pltpu.SMEM)
     out_spec = pl.BlockSpec((1, nch, _SUB * _TPS, _LANE),
                             lambda bi, hb, wb: (bi, 0, hb, wb),
                             memory_space=pltpu.VMEM)
@@ -442,11 +520,12 @@ def _forward(imgs, coords, mode, save_tangents=False):
         functools.partial(_fwd_kernel, h=h, w=w, nch=nch, mode=mode,
                           save_tangents=save_tangents),
         grid=grid,
-        in_specs=[_coord_spec(), _coord_spec(), _img_spec(nch, hp, wp)],
+        in_specs=[_coord_spec(), _coord_spec(), _img_spec(nch, hp, wp),
+                  meta_spec],
         out_specs=(out_spec,) * n_out,
         out_shape=(out_shape,) * n_out,
         interpret=_interpret(),
-    )(xs, ys, planes)
+    )(xs, ys, planes, meta)
     return tuple(_to_nhwc(o, b, nch, ht, wt, htp, wtp) for o in outs)
 
 
