@@ -61,6 +61,9 @@ class GeoNetConfig:
     dispnet_packed_dgrad_levels: tuple = ()
     # Disparity heads in s2d form (see models/dispnet.DispNetS.s2d_heads).
     dispnet_s2d_heads: bool = False
+    # Disparity heads as tap-stacked matmul + shift-add (takes precedence
+    # over s2d_heads; see models/dispnet._TapStackHeadConv).
+    dispnet_mat_heads: bool = False
     # Same knobs for the stage-2 FlowNet (identical encoder shapes).
     flownet_s2d_levels: tuple = (0,)
     flownet_s2d_iconv_levels: tuple = ()

@@ -429,6 +429,37 @@ class _IConv(nn.Module):
         return nn.relu(x)
 
 
+class _TapStackHeadConv(nn.Module):
+    """3x3 C->1 head conv as one (BHW, C) @ (C, 9) matmul + shift-add.
+
+    The direct 1-output-channel conv occupies 1/128 MXU lanes and its
+    backward (1->C dgrad + full-res wgrad) ran at ~3 TFLOPS moving ~5.8 GB
+    per step (XProf r2, dispnet.py heads ~10.6 ms/step at batch 128).
+    Stacking the 9 taps on the dot's output axis turns the whole op into
+    one bandwidth-optimal skinny matmul; the tap planes land on a leading
+    axis (lane dim stays W) and the shifted 9-plane sum fuses. Backward is
+    the transposed matmul + broadcast shifts — no conv anywhere. Param
+    tree identical to the nn.Conv branch (checkpoint-exact); summation
+    order differs (per-tap partials), so values match to f32 roundoff
+    rather than bitwise.
+    """
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c_in = x.shape[-1]
+        w = self.param("kernel", _xavier, (3, 3, c_in, 1))
+        bias = self.param("bias", nn.initializers.zeros, (1,))
+        hh, ww = x.shape[1], x.shape[2]
+        k9 = jnp.transpose(w.reshape(9, c_in)).astype(self.dtype)
+        y9 = jnp.einsum("bhwc,cj->jbhw", x.astype(self.dtype), k9)
+        y9 = jnp.pad(y9, ((0, 0), (0, 0), (1, 1), (1, 1)))
+        out = y9[0, :, 0:hh, 0:ww]
+        for j in range(1, 9):
+            out = out + y9[j, :, j // 3:j // 3 + hh, j % 3:j % 3 + ww]
+        return out[..., None] + bias.astype(self.dtype)
+
+
 def _crop_like(x: Array, ref: Array) -> Array:
     if x.shape[1] == ref.shape[1] and x.shape[2] == ref.shape[2]:
         return x
@@ -479,6 +510,9 @@ class DispNetS(nn.Module):
     # (the chooser picks f=8 at full res). Default off until A/B'd — XLA
     # may already lower 1-channel convs as bandwidth-bound fusions.
     s2d_heads: bool = False
+    # Disparity heads as tap-stacked matmul + shift-add (_TapStackHeadConv;
+    # takes precedence over s2d_heads). Default off until A/B'd on TPU.
+    mat_heads: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> tuple[Array, Array, Array, Array]:
@@ -509,7 +543,10 @@ class DispNetS(nn.Module):
             # maps and its fwd+bwd convs ran at 3-5 TFLOPS (XProf r2) —
             # ~8 ms/step across scales at batch 128.
             i = next(head_idx)
-            if self.s2d_heads:
+            if self.mat_heads:
+                # Same param name as the nn.Conv branch (checkpoint-exact).
+                d = _TapStackHeadConv(self.dtype, name=f"Conv_{i}")(h)
+            elif self.s2d_heads:
                 # Same param name as the nn.Conv branch (checkpoint-exact).
                 d = _S2DConv(1, 3, self.dtype, name=f"Conv_{i}")(h)
             else:

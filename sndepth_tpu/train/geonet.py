@@ -50,6 +50,7 @@ def build_models(config: GeoNetConfig) -> tuple[DispNetS, PoseNet]:
                         packed_dgrad_levels=tuple(
                             config.dispnet_packed_dgrad_levels),
                         s2d_heads=config.dispnet_s2d_heads,
+                        mat_heads=config.dispnet_mat_heads,
                         remat=config.dispnet_remat)
     pose_net = PoseNet(num_source=config.num_source,
                        dtype=config.compute_dtype)

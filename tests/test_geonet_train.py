@@ -278,6 +278,44 @@ def test_dispnet_s2d_levels_same_params_and_outputs():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_tapstack_head_conv_matches_direct():
+    """_TapStackHeadConv == the 3x3 C->1 nn.Conv head with the same params
+    (values to f32 roundoff; gradients too), incl. inside DispNetS via the
+    mat_heads knob."""
+    import flax.linen as nn
+    from sndepth_tpu.models.dispnet import (DispNetS, _TapStackHeadConv,
+                                            _xavier)
+
+    rng = np.random.RandomState(7)
+    for c_in, h, w in [(16, 12, 20), (32, 7, 9)]:
+        x = jnp.asarray(rng.randn(2, h, w, c_in), jnp.float32)
+        ref = nn.Conv(1, (3, 3), padding="SAME", dtype=jnp.float32,
+                      kernel_init=_xavier)
+        v = ref.init(jax.random.PRNGKey(0), x)
+        y_ref = ref.apply(v, x)
+        y_mat = _TapStackHeadConv(jnp.float32).apply(v, x)
+        np.testing.assert_allclose(np.asarray(y_mat), np.asarray(y_ref),
+                                   atol=1e-5)
+        g_ref = jax.grad(lambda vv: jnp.sum(ref.apply(vv, x) ** 2))(v)
+        g_mat = jax.grad(
+            lambda vv: jnp.sum(_TapStackHeadConv(jnp.float32).apply(
+                vv, x) ** 2))(v)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4),
+            g_mat, g_ref)
+
+    x = jnp.asarray(rng.randn(2, 64, 96, 3), jnp.float32)
+    net0 = DispNetS(dtype=jnp.float32)
+    net1 = DispNetS(dtype=jnp.float32, mat_heads=True)
+    v = net0.init(jax.random.PRNGKey(0), x)
+    v1 = net1.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(v["params"]) ==
+            jax.tree_util.tree_structure(v1["params"]))
+    for a, b in zip(net0.apply(v, x), net1.apply(v, x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_s2d_upconv_matches_torch_transpose():
     """_S2DUpConv2x == TorchConvTranspose2x with the same params."""
     from sndepth_tpu.models.dispnet import (TorchConvTranspose2x,

@@ -184,3 +184,39 @@ def test_kernel_diagonal_fast_path_tall_image():
         gp = np.asarray(jax.grad(loss_p)(smooth))
         gr = np.asarray(jax.grad(loss_r)(smooth))
         np.testing.assert_allclose(gp, gr, atol=1e-4, err_msg=mode)
+
+
+def test_tile_meta_mono_matches_block_oracle():
+    """The monotone reduce_window tile_meta (default) is bit-identical to
+    the original strided-reduce form across path regimes and both modes."""
+    import sndepth_tpu.kernels.warp as wk
+
+    rng = np.random.RandomState(11)
+    b, ht, wt = 6, 32, 256
+    h, w = 40, 300
+    hp = wk._round_up(h, wk._SUB)
+    wp = wk._round_up(w, wk._LANE)
+    ys0, xs0 = np.mgrid[0:ht, 0:wt].astype(np.float32)
+    xs = np.broadcast_to(xs0, (b, ht, wt)).copy()
+    ys = np.broadcast_to(ys0, (b, ht, wt)).copy()
+    xs[:2] += rng.uniform(-0.45, 0.45, (2, ht, wt))   # band paths
+    ys[:2] += rng.uniform(-0.45, 0.45, (2, ht, wt))
+    xs[2:4] = rng.uniform(-30, w + 30, (2, ht, wt))   # slow path
+    ys[2:4] = rng.uniform(-30, h + 30, (2, ht, wt))
+    xs[4] -= 500.0                                    # fully out of range
+    ys[5] += 500.0
+    xs, ys = jnp.asarray(xs), jnp.asarray(ys)
+
+    orig = wk._META_FORM
+    try:
+        for mode in ("edge_zero", "zero_pad"):
+            wk._META_FORM = "mono"
+            m_mono = np.asarray(jax.jit(
+                lambda a, c: wk.tile_meta(a, c, h, w, mode, hp, wp))(xs, ys))
+            wk._META_FORM = "block"
+            m_block = np.asarray(jax.jit(
+                lambda a, c: wk.tile_meta(a, c, h, w, mode, hp, wp))(xs, ys))
+            np.testing.assert_array_equal(m_mono, m_block, err_msg=mode)
+            assert set(np.unique(m_mono[..., 0])) <= {0, 1, 2}
+    finally:
+        wk._META_FORM = orig
