@@ -62,11 +62,60 @@ _BACKEND = os.environ.get("SNDEPTH_PHOTO_BACKEND", "auto")
 
 def _pool3(pbuf, val, h, w):
     """3x3/9 zero-padded average pool via one (h+2, w+2) scratch buffer,
-    separable (3 sublane-shift adds + 3 lane-shift adds)."""
-    pbuf[:] = jnp.zeros((h + 2, w + 2), jnp.float32)
+    separable (3 sublane-shift adds + 3 lane-shift adds).
+
+    ``pbuf``'s one-element border must be zero on entry (the caller zeroes
+    the whole buffer ONCE per kernel invocation; this writes only the
+    interior, which saves the ~40% of the pool cost the per-call full
+    zeroing used to burn)."""
     pbuf[1:h + 1, 1:w + 1] = val
     col = pbuf[0:h, :] + pbuf[1:h + 1, :] + pbuf[2:h + 2, :]
     return (col[:, 0:w] + col[:, 1:w + 1] + col[:, 2:w + 2]) / 9.0
+
+
+def _photo_channel(pbuf, x, y, mu_x, sigma_x, mask, htp, wtp, alpha,
+                   need_grad):
+    """DSSIM+L1 error map and (if ``need_grad``) its adjoint w.r.t. the
+    warped plane ``y`` for one channel. ``x`` is the comparison plane with
+    precomputed pools ``mu_x`` / ``sigma_x``; ``y`` must already be masked.
+    Returns (err, dw) with ``dw`` None unless ``need_grad``."""
+    mu_y = _pool3(pbuf, y, htp, wtp)
+    sigma_y = _pool3(pbuf, y * y, htp, wtp) - mu_y * mu_y
+    sigma_xy = _pool3(pbuf, x * y, htp, wtp) - mu_x * mu_y
+
+    t1 = 2.0 * sigma_xy + _C2
+    t2 = 2.0 * mu_x * mu_y + _C1
+    t3 = sigma_x + sigma_y + _C2
+    t4 = mu_x * mu_x + mu_y * mu_y + _C1
+    n = t2 * t1
+    d = t4 * t3
+    s = 0.5 * (1.0 - n / d)
+    dssim_map = jnp.clip(s, 0.0, 1.0)
+    diff = x - y
+    err = (alpha * dssim_map + (1.0 - alpha) * jnp.abs(diff)) * mask
+    if not need_grad:
+        return err, None
+
+    # DSSIM adjoint w.r.t. y with per-pixel cotangent = mask (pad-column
+    # outputs don't exist in the reference loss, so no cotangent may flow
+    # back from them into edge pixels).
+    lo = (0.5 * ((s > 0.0).astype(jnp.float32)
+                 + (s >= 0.0).astype(jnp.float32)))
+    hi = (0.5 * ((s < 1.0).astype(jnp.float32)
+                 + (s <= 1.0).astype(jnp.float32)))
+    gp = mask * lo * hi
+    inv_d = 1.0 / d
+    a_n = -0.5 * gp * inv_d
+    a_d = 0.5 * gp * n * inv_d * inv_d
+    c1 = 2.0 * a_n * (t1 - t2)
+    c2 = 2.0 * a_d * (t3 - t4)
+    pa_y = _pool3(pbuf, mu_x * c1 + mu_y * c2, htp, wtp)
+    pb_xx = _pool3(pbuf, a_d * t4, htp, wtp)
+    pb_xy = _pool3(pbuf, 2.0 * a_n * t2, htp, wtp)
+    d_ssim = pa_y + 2.0 * y * pb_xx + x * pb_xy
+    d_l1 = -jnp.sign(diff) * mask
+    dw = alpha * d_ssim + (1.0 - alpha) * d_l1
+    return err, dw
 
 
 def _kernel(x_ref, y_ref, src_ref, tgt_ref, meta_ref, loss_ref, dx_ref,
@@ -98,6 +147,8 @@ def _kernel(x_ref, y_ref, src_ref, tgt_ref, meta_ref, loss_ref, dx_ref,
 
     jax.lax.fori_loop(0, ntile, tile_body, 0)
 
+    pbuf[:] = jnp.zeros((htp + 2, wtp + 2), jnp.float32)
+
     # In-image mask (pyramid heights are 8-aligned so only columns pad).
     mask = (jax.lax.broadcasted_iota(jnp.int32, (htp, wtp), 1)
             < wt).astype(jnp.float32)
@@ -115,44 +166,12 @@ def _kernel(x_ref, y_ref, src_ref, tgt_ref, meta_ref, loss_ref, dx_ref,
         y = wbuf[ch] * mask                      # zero the pad region
 
         mu_x = _pool3(pbuf, x, htp, wtp)
-        mu_y = _pool3(pbuf, y, htp, wtp)
         sigma_x = _pool3(pbuf, x * x, htp, wtp) - mu_x * mu_x
-        sigma_y = _pool3(pbuf, y * y, htp, wtp) - mu_y * mu_y
-        sigma_xy = _pool3(pbuf, x * y, htp, wtp) - mu_x * mu_y
-
-        t1 = 2.0 * sigma_xy + _C2
-        t2 = 2.0 * mu_x * mu_y + _C1
-        t3 = sigma_x + sigma_y + _C2
-        t4 = mu_x * mu_x + mu_y * mu_y + _C1
-        n = t2 * t1
-        d = t4 * t3
-        s = 0.5 * (1.0 - n / d)
-        dssim_map = jnp.clip(s, 0.0, 1.0)
-        diff = x - y
-        err = (alpha * dssim_map + (1.0 - alpha) * jnp.abs(diff)) * mask
+        err, dw = _photo_channel(pbuf, x, y, mu_x, sigma_x, mask, htp,
+                                 wtp, alpha, need_grad)
         loss_part = loss_part + err.reshape(
             htp // _SUB, _SUB, wtp // _LANE, _LANE).sum(axis=(0, 2))
-
         if need_grad:
-            # DSSIM adjoint w.r.t. y with per-pixel cotangent = mask
-            # (pad-column outputs don't exist in the reference loss, so
-            # no cotangent may flow back from them into edge pixels).
-            lo = (0.5 * ((s > 0.0).astype(jnp.float32)
-                         + (s >= 0.0).astype(jnp.float32)))
-            hi = (0.5 * ((s < 1.0).astype(jnp.float32)
-                         + (s <= 1.0).astype(jnp.float32)))
-            gp = mask * lo * hi
-            inv_d = 1.0 / d
-            a_n = -0.5 * gp * inv_d
-            a_d = 0.5 * gp * n * inv_d * inv_d
-            c1 = 2.0 * a_n * (t1 - t2)
-            c2 = 2.0 * a_d * (t3 - t4)
-            pa_y = _pool3(pbuf, mu_x * c1 + mu_y * c2, htp, wtp)
-            pb_xx = _pool3(pbuf, a_d * t4, htp, wtp)
-            pb_xy = _pool3(pbuf, 2.0 * a_n * t2, htp, wtp)
-            d_ssim = pa_y + 2.0 * y * pb_xx + x * pb_xy
-            d_l1 = -jnp.sign(diff) * mask
-            dw = alpha * d_ssim + (1.0 - alpha) * d_l1
             dx_acc = dx_acc + dw * txbuf[ch] * mask
             dy_acc = dy_acc + dw * tybuf[ch] * mask
 
@@ -227,6 +246,235 @@ def _run(tgt, src, coords, alpha, mode, need_grad):
     d_coords = jnp.stack([dxp[:, :ht, :wt], dyp[:, :ht, :wt]],
                          axis=-1).astype(coords.dtype)
     return loss, d_coords
+
+
+def _pair_kernel(xf_ref, yf_ref, xb_ref, yb_ref, src_ref, tgt_ref,
+                 meta_ref, loss_ref, dxf_ref, dyf_ref, dxb_ref, dyb_ref,
+                 wbuf, txbuf, tybuf, pbuf, mxbuf, sxbuf, *, h, w, nch, ns,
+                 mode, alpha, need_grad):
+    """One grid step = one BATCH image: both loss directions over all
+    ``ns`` source views in a single VMEM pass.
+
+    vs. 2*ns independent :func:`_kernel` steps this (a) loads the target
+    planes once instead of 2*ns times (fwd comparison plane + bwd warp
+    source), (b) computes the target's mu/sigma pools once instead of
+    ``ns`` times, (c) needs no XLA-side (B*ns) tiling of the target
+    (`flat_tgt_tiled` materialized + transposed two full image stacks per
+    scale), and (d) amortizes per-grid-step fixed work (mask iota, pbuf
+    border zeroing) over 2*ns comparisons.
+    """
+    htp, wtp = xf_ref.shape[2], xf_ref.shape[3]
+    ht, wt = h, w                       # pair form requires same-size maps
+    ncol = wtp // _LANE
+    ntile = (htp // _SUB) * ncol
+
+    pbuf[:] = jnp.zeros((htp + 2, wtp + 2), jnp.float32)
+    mask = (jax.lax.broadcasted_iota(jnp.int32, (htp, wtp), 1)
+            < wt).astype(jnp.float32)
+    if ht < htp:
+        mask = mask * (jax.lax.broadcasted_iota(jnp.int32, (htp, wtp), 0)
+                       < ht).astype(jnp.float32)
+
+    # Target pools, shared by all ns forward comparisons.
+    for ch in range(nch):
+        x = tgt_ref[0, ch]
+        mxbuf[ch] = _pool3(pbuf, x, htp, wtp)
+        mu = mxbuf[ch]
+        sxbuf[ch] = _pool3(pbuf, x * x, htp, wtp) - mu * mu
+
+    loss_part = jnp.zeros((_SUB, _LANE), jnp.float32)
+
+    for d in range(2):                  # 0 = fwd (warp src), 1 = bwd
+        x_ref = xf_ref if d == 0 else xb_ref
+        y_ref = yf_ref if d == 0 else yb_ref
+        for si in range(ns):
+            mi = d * ns + si
+
+            def tile_body(i, _, si=si, mi=mi, x_ref=x_ref, y_ref=y_ref,
+                          dd=d):
+                ro = pl.multiple_of((i // ncol) * _SUB, _SUB)
+                co = pl.multiple_of((i % ncol) * _LANE, _LANE)
+                x = x_ref[0, si, pl.ds(ro, _SUB), pl.ds(co, _LANE)]
+                y = y_ref[0, si, pl.ds(ro, _SUB), pl.ds(co, _LANE)]
+                meta = tuple(meta_ref[0, mi, i, k] for k in range(_NMETA))
+
+                def store(accs, txs, tys):
+                    for ch in range(nch):
+                        wbuf[ch, pl.ds(ro, _SUB), pl.ds(co, _LANE)] = \
+                            accs[ch]
+                        if need_grad:
+                            txbuf[ch, pl.ds(ro, _SUB),
+                                  pl.ds(co, _LANE)] = txs[ch]
+                            tybuf[ch, pl.ds(ro, _SUB),
+                                  pl.ds(co, _LANE)] = tys[ch]
+
+                if dd == 0:
+                    _warp_tile(x, y, src_ref, h, w, nch, mode,
+                               save_tangents=need_grad, store=store,
+                               meta=meta, img_at=(0, si))
+                else:
+                    _warp_tile(x, y, tgt_ref, h, w, nch, mode,
+                               save_tangents=need_grad, store=store,
+                               meta=meta, img_at=(0,))
+                return 0
+
+            jax.lax.fori_loop(0, ntile, tile_body, 0)
+
+            if need_grad:
+                dx_acc = jnp.zeros((htp, wtp), jnp.float32)
+                dy_acc = jnp.zeros((htp, wtp), jnp.float32)
+            for ch in range(nch):
+                if d == 0:
+                    x = tgt_ref[0, ch]
+                    mu_x = mxbuf[ch]
+                    sigma_x = sxbuf[ch]
+                else:
+                    x = src_ref[0, si, ch]
+                    mu_x = _pool3(pbuf, x, htp, wtp)
+                    sigma_x = _pool3(pbuf, x * x, htp, wtp) - mu_x * mu_x
+                y = wbuf[ch] * mask
+                err, dw = _photo_channel(pbuf, x, y, mu_x, sigma_x, mask,
+                                         htp, wtp, alpha, need_grad)
+                loss_part = loss_part + err.reshape(
+                    htp // _SUB, _SUB, wtp // _LANE, _LANE).sum(axis=(0, 2))
+                if need_grad:
+                    dx_acc = dx_acc + dw * txbuf[ch] * mask
+                    dy_acc = dy_acc + dw * tybuf[ch] * mask
+            if need_grad:
+                if d == 0:
+                    dxf_ref[0, si] = dx_acc
+                    dyf_ref[0, si] = dy_acc
+                else:
+                    dxb_ref[0, si] = dx_acc
+                    dyb_ref[0, si] = dy_acc
+
+    loss_ref[0] = loss_part
+
+
+def _pair_prep(img: Array, htp: int, wtp: int) -> Array:
+    """NHWC image (leading dims arbitrary) -> zero-padded channel planes."""
+    planes = jnp.moveaxis(img, -1, -3).astype(jnp.float32)
+    h, w = img.shape[-3], img.shape[-2]
+    pad = [(0, 0)] * (planes.ndim - 2) + [(0, htp - h), (0, wtp - w)]
+    return jnp.pad(planes, pad)
+
+
+def _pair_run(tgt, srcs, coords_f, coords_b, alpha, mode, need_grad):
+    b, ns, ht, wt, nch = srcs.shape
+    h, w = ht, wt
+    htp = _round_up(ht, _SUB)
+    wtp = _round_up(wt, _LANE)
+    ntile = (htp // _SUB) * (wtp // _LANE)
+
+    tgt_p = _pair_prep(tgt, htp, wtp)               # (B, C, htp, wtp)
+    src_p = _pair_prep(srcs, htp, wtp)              # (B, ns, C, htp, wtp)
+    cpad = ((0, 0), (0, 0), (0, htp - ht), (0, wtp - wt), (0, 0))
+    cf = jnp.pad(coords_f.astype(jnp.float32), cpad, mode="edge")
+    cb = jnp.pad(coords_b.astype(jnp.float32), cpad, mode="edge")
+    xs_f, ys_f = cf[..., 0], cf[..., 1]             # (B, ns, htp, wtp)
+    xs_b, ys_b = cb[..., 0], cb[..., 1]
+
+    xs_all = jnp.concatenate([xs_f, xs_b], axis=1).reshape(
+        b * 2 * ns, htp, wtp)
+    ys_all = jnp.concatenate([ys_f, ys_b], axis=1).reshape(
+        b * 2 * ns, htp, wtp)
+    meta = tile_meta(xs_all, ys_all, h, w, mode, htp, wtp).reshape(
+        b, 2 * ns, ntile, _NMETA)
+
+    cspec = pl.BlockSpec((1, ns, htp, wtp), lambda bi: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    gspec = cspec
+    outs = pl.pallas_call(
+        functools.partial(_pair_kernel, h=h, w=w, nch=nch, ns=ns,
+                          mode=mode, alpha=float(alpha),
+                          need_grad=need_grad),
+        grid=(b,),
+        in_specs=[cspec, cspec, cspec, cspec,
+                  pl.BlockSpec((1, ns, nch, htp, wtp),
+                               lambda bi: (bi, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, nch, htp, wtp),
+                               lambda bi: (bi, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 2 * ns, ntile, _NMETA),
+                               lambda bi: (bi, 0, 0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec((1, _SUB, _LANE), lambda bi: (bi, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   gspec, gspec, gspec, gspec),
+        out_shape=(jax.ShapeDtypeStruct((b, _SUB, _LANE), jnp.float32),)
+        + (jax.ShapeDtypeStruct((b, ns, htp, wtp), jnp.float32),) * 4,
+        scratch_shapes=[pltpu.VMEM((nch, htp, wtp), jnp.float32),
+                        pltpu.VMEM((nch, htp, wtp), jnp.float32),
+                        pltpu.VMEM((nch, htp, wtp), jnp.float32),
+                        pltpu.VMEM((htp + 2, wtp + 2), jnp.float32),
+                        pltpu.VMEM((nch, htp, wtp), jnp.float32),
+                        pltpu.VMEM((nch, htp, wtp), jnp.float32)],
+        interpret=_interpret(),
+    )(xs_f, ys_f, xs_b, ys_b, src_p, tgt_p, meta)
+    loss_part, dxf, dyf, dxb, dyb = outs
+    loss = jnp.sum(loss_part)
+    if not need_grad:
+        return loss, None, None
+    d_cf = jnp.stack([dxf[..., :ht, :wt], dyf[..., :ht, :wt]],
+                     axis=-1).astype(coords_f.dtype)
+    d_cb = jnp.stack([dxb[..., :ht, :wt], dyb[..., :ht, :wt]],
+                     axis=-1).astype(coords_b.dtype)
+    return loss, d_cf, d_cb
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def warp_photo_pair_loss(tgt: Array, srcs: Array, coords_f: Array,
+                         coords_b: Array, alpha: float,
+                         mode: str = "edge_zero") -> Array:
+    """Both rigid-warp loss directions over all source views in ONE
+    fused kernel:
+
+        sum_s [ err(tgt,        warp(srcs[s], coords_f[s]))
+              + err(srcs[s],    warp(tgt,     coords_b[s])) ]
+
+    where err = alpha*DSSIM + (1-alpha)*L1 summed over in-image pixels.
+    ``tgt`` (B,H,W,C), ``srcs`` (B,ns,H,W,C), coords (B,ns,H,W,2).
+    Exactly equals ``warp_photo_loss(tile(tgt), flat(srcs), cf) +
+    warp_photo_loss(flat(srcs), tile(tgt), cb)`` with less memory traffic
+    (see :func:`_pair_kernel`). Gradients flow to the coords only."""
+    return _pair_run(tgt, srcs, coords_f, coords_b, alpha, mode,
+                     need_grad=False)[0]
+
+
+def _pair_fwd(tgt, srcs, coords_f, coords_b, alpha, mode):
+    loss, d_cf, d_cb = _pair_run(tgt, srcs, coords_f, coords_b, alpha,
+                                 mode, need_grad=True)
+    return loss, (d_cf, d_cb, tgt, srcs)
+
+
+def _pair_bwd(alpha, mode, res, g):
+    d_cf, d_cb, tgt, srcs = res
+    return (jnp.zeros_like(tgt), jnp.zeros_like(srcs),
+            g * d_cf, g * d_cb)
+
+
+warp_photo_pair_loss.defvjp(_pair_fwd, _pair_bwd)
+
+
+def pair_ok(tgt: Array, ns: int) -> bool:
+    """Dispatch gate for the pair kernel (one batch image, both
+    directions, all sources resident in VMEM per grid step).
+    SNDEPTH_PHOTO_BACKEND: ``pair`` forces it (interpreter on CPU),
+    ``fused``/``split`` select the per-call kernel / the split ops."""
+    if _BACKEND in ("split", "fused"):
+        return False
+    if _BACKEND != "pair" and \
+            jax.default_backend() not in ("tpu", "axon"):
+        return False
+    ht, wt, nch = tgt.shape[1], tgt.shape[2], tgt.shape[3]
+    if ht % _SUB:
+        return False            # pool row-padding not handled (unused)
+    plane = _round_up(ht, _SUB) * _round_up(wt, _LANE) * 4
+    # coords 4ns + srcs ns*nch + tgt nch + grads 4ns + scratch 5nch, x2
+    # for grid double-buffering of the per-image input blocks.
+    resident = plane * (2 * (8 * ns + (ns + 1) * nch) + 5 * nch + 4)
+    return resident <= 48 * 1024 * 1024
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

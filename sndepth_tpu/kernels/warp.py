@@ -223,14 +223,15 @@ def tile_meta(xs: Array, ys: Array, h: int, w: int, mode: str,
 
 
 def _row_chunk_loop(img_ref, nch, x0i, x1i, y0i, y1i, per_row_chunk, init,
-                    bounds=None):
+                    bounds=None, img_at=(0,)):
     """Drive the dynamic row-span x chunk-span loop (slow/general path).
 
     ``per_row_chunk(carry, wk_args, gathered)`` gets, per (row, chunk):
     the chunk-membership-masked per-channel taps g0/g1 lists and the
     (y0==k, y1==k) masks, and folds them into the carry. ``bounds``
     optionally supplies precomputed (ymin, ymax, cmin, cmax) scalars
-    (see :func:`tile_meta`).
+    (see :func:`tile_meta`). ``img_at`` is the leading index prefix
+    selecting the (nch, hp, wp) plane stack inside ``img_ref``.
     """
     if bounds is None:
         ymin = jnp.min(y0i)
@@ -260,7 +261,8 @@ def _row_chunk_loop(img_ref, nch, x0i, x1i, y0i, y1i, per_row_chunk, init,
             in1 = (q1 == c).astype(jnp.float32)
             g0s, g1s = [], []
             for ch in range(nch):
-                block = img_ref[0, ch, pl.ds(kg, _SUB), pl.ds(base, _LANE)]
+                block = img_ref[(*img_at, ch, pl.ds(kg, _SUB),
+                                 pl.ds(base, _LANE))]
                 tab = jnp.take_along_axis(block, kj, axis=0)
                 g0s.append(jnp.take_along_axis(tab, r0, axis=1) * in0)
                 g1s.append(jnp.take_along_axis(tab, r1, axis=1) * in1)
@@ -278,11 +280,11 @@ _TGRP = 3             # aligned 8-row groups backing the direct-path window
 
 
 def _warp_tile(x, y, img_ref, h, w, nch, mode, save_tangents, store,
-               meta=None):
+               meta=None, img_at=(0,)):
     """Compute one (8, 128) output tile of the bilinear warp.
 
     ``x``/``y`` are the tile's f32 source coordinates, ``img_ref`` a
-    VMEM-resident (1, nch, hp, wp) source-plane ref. Calls
+    VMEM-resident (*img_at, nch, hp, wp) source-plane ref. Calls
     ``store(accs, txs, tys)`` exactly once on whichever runtime path the
     tile selects (txs/tys are zero-filled unless ``save_tangents``).
 
@@ -306,7 +308,7 @@ def _warp_tile(x, y, img_ref, h, w, nch, mode, save_tangents, store,
       to the slow path: 42-77 ms -> ~20 ms per 256x128x416 warp).
     * SLOW fallback: dynamic row/chunk span loop (arbitrary coords).
     """
-    hp, wp = img_ref.shape[2], img_ref.shape[3]
+    hp, wp = img_ref.shape[-2], img_ref.shape[-1]
     cwin = min(_CWIN, wp // _LANE)
     ngrp = min(_TGRP, hp // _SUB)
     win = ngrp * _SUB
@@ -362,7 +364,8 @@ def _warp_tile(x, y, img_ref, h, w, nch, mode, save_tangents, store,
                 row0 = pl.multiple_of(gb + g * _SUB, _SUB)
                 for ch in range(nch):
                     blocks[ci, g, ch] = img_ref[
-                        0, ch, pl.ds(row0, _SUB), pl.ds(base, _LANE)]
+                        (*img_at, ch, pl.ds(row0, _SUB),
+                         pl.ds(base, _LANE))]
         return blocks, chunk_w
 
     zero = jnp.zeros((_SUB, _LANE), jnp.float32)
@@ -445,7 +448,7 @@ def _warp_tile(x, y, img_ref, h, w, nch, mode, save_tangents, store,
                       for _ in range(nch))
         accs, txs, tys = _row_chunk_loop(
             img_ref, nch, x0i, x1i, y0i, y1i, fold,
-            (zeros, zeros, zeros), bounds=slow_bounds)
+            (zeros, zeros, zeros), bounds=slow_bounds, img_at=img_at)
         store(list(accs), list(txs), list(tys))
 
 

@@ -195,20 +195,31 @@ def geonet_loss(params: dict, batch: dict, config: GeoNetConfig
         # (kernels/photo_loss.py; both paths are tested equal). Stage 2
         # (train_flow) needs the warped images and error maps as FlowNet
         # inputs, so it keeps the split ops.
-        if not cfg.train_flow and photo_loss.fused_ok(tgt_s):
+        if not cfg.train_flow and (photo_loss.pair_ok(v_s[:, 0], ns)
+                                   or photo_loss.fused_ok(tgt_s)):
             hs, ws = tgt_s.shape[1], tgt_s.shape[2]
             gx = jnp.arange(ws, dtype=jnp.float32)
             gy = jnp.arange(hs, dtype=jnp.float32)
             grid = jnp.stack(
                 [jnp.broadcast_to(gx[None, :], (hs, ws)),
                  jnp.broadcast_to(gy[:, None], (hs, ws))], axis=-1)[None]
-            fwd_sum = photo_loss.warp_photo_loss(
-                tgt_s, src_s, grid + fwd_flow, cfg.simi_alpha)
-            bwd_sum = photo_loss.warp_photo_loss(
-                src_s, tgt_s, grid + bwd_flow, cfg.simi_alpha)
+            if photo_loss.pair_ok(v_s[:, 0], ns):
+                # Single kernel for both directions over all sources:
+                # the target is loaded/pooled once instead of per source
+                # and never XLA-tiled (kernels/photo_loss._pair_kernel).
+                cf = (grid + fwd_flow).reshape(b, ns, hs, ws, 2)
+                cb = (grid + bwd_flow).reshape(b, ns, hs, ws, 2)
+                pair_sum = photo_loss.warp_photo_pair_loss(
+                    v_s[:, 0], v_s[:, 1:], cf, cb, cfg.simi_alpha)
+            else:
+                fwd_sum = photo_loss.warp_photo_loss(
+                    tgt_s, src_s, grid + fwd_flow, cfg.simi_alpha)
+                bwd_sum = photo_loss.warp_photo_loss(
+                    src_s, tgt_s, grid + bwd_flow, cfg.simi_alpha)
+                pair_sum = fwd_sum + bwd_sum
             denom = float(np.prod(tgt_s.shape))
             loss_rigid_warp += (cfg.loss_weight_rigid_warp * ns / 2.0 *
-                                (fwd_sum + bwd_sum) / denom)
+                                pair_sum / denom)
         else:
             fwd_warp = flow_warp(src_s, fwd_flow)
             bwd_warp = flow_warp(tgt_s, bwd_flow)

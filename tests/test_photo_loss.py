@@ -87,6 +87,95 @@ def test_lane_padded_width_edge_pooling():
                                atol=2e-4, rtol=1e-3)
 
 
+def _pair_case(seed, b=2, ns=2, h=16, w=52, c=3, spread=1.5):
+    rng = np.random.RandomState(seed)
+    tgt = jnp.asarray(rng.rand(b, h, w, c) * 2 - 1, jnp.float32)
+    srcs = jnp.asarray(rng.rand(b, ns, h, w, c) * 2 - 1, jnp.float32)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    grid = np.stack([xs, ys], -1)[None, None].repeat(b, 0).repeat(ns, 1)
+    cf = jnp.asarray(grid + rng.uniform(-spread, spread, grid.shape),
+                     jnp.float32)
+    cb = jnp.asarray(grid + rng.uniform(-spread, spread, grid.shape),
+                     jnp.float32)
+    return tgt, srcs, cf, cb
+
+
+def _pair_ref(tgt, srcs, cf, cb, mode):
+    b, ns = srcs.shape[0], srcs.shape[1]
+    total = 0.0
+    for s in range(ns):
+        total = total + _ref_loss(tgt, srcs[:, s], cf[:, s], mode)
+        total = total + _ref_loss(srcs[:, s], tgt, cb[:, s], mode)
+    return total
+
+
+@pytest.mark.parametrize("mode", ["edge_zero", "zero_pad"])
+def test_pair_loss_value_matches_split_ops(mode):
+    from sndepth_tpu.kernels.photo_loss import warp_photo_pair_loss
+    tgt, srcs, cf, cb = _pair_case(4)
+    got = float(warp_photo_pair_loss(tgt, srcs, cf, cb, ALPHA, mode))
+    want = float(_pair_ref(tgt, srcs, cf, cb, mode))
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+
+
+@pytest.mark.parametrize("mode", ["edge_zero", "zero_pad"])
+def test_pair_coord_gradients_match_split_ops(mode):
+    from sndepth_tpu.kernels.photo_loss import warp_photo_pair_loss
+    tgt, srcs, cf, cb = _pair_case(5, b=1, h=8, w=40)
+    gf, gb = jax.grad(
+        lambda a, b2: 0.37 * warp_photo_pair_loss(
+            tgt, srcs, a, b2, ALPHA, mode), argnums=(0, 1))(cf, cb)
+    rf, rb = jax.grad(
+        lambda a, b2: 0.37 * _pair_ref(tgt, srcs, a, b2, mode),
+        argnums=(0, 1))(cf, cb)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(rf),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(rb),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_pair_wild_coords_slow_path():
+    from sndepth_tpu.kernels.photo_loss import warp_photo_pair_loss
+    tgt, srcs, cf, cb = _pair_case(6, b=1, ns=2, h=16, w=40, spread=30.0)
+    got = float(warp_photo_pair_loss(tgt, srcs, cf, cb, ALPHA,
+                                     "edge_zero"))
+    want = float(_pair_ref(tgt, srcs, cf, cb, "edge_zero"))
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+
+
+def test_geonet_stage1_loss_pair_matches_split(monkeypatch):
+    """End-to-end: the PAIR kernel path in the stage-1 GeoNet loss equals
+    the split-ops loss (tiny config, interpreter on CPU)."""
+    import numpy as np
+    from sndepth_tpu.core.config import GeoNetConfig
+    from sndepth_tpu.kernels import photo_loss as pk
+    from sndepth_tpu.train import geonet
+
+    config = GeoNetConfig(batch_size=2, img_height=16, img_width=52,
+                          num_scales=2)
+    rng = np.random.RandomState(1)
+    h, w = config.img_height, config.img_width
+    batch = {
+        "tgt": jnp.asarray(rng.randint(0, 256, (2, h, w, 3), dtype=np.uint8)),
+        "src": jnp.asarray(rng.randint(0, 256, (2, h, w, 6), dtype=np.uint8)),
+        "intrinsics": jnp.asarray(np.tile(
+            np.array([[[30.0, 0, 26.0], [0, 30.0, 8.0], [0, 0, 1]]],
+                     np.float32), (2, 1, 1))),
+    }
+    params = geonet.init_params(jax.random.PRNGKey(0), config)
+    pb = geonet.preprocess_batch(batch)
+
+    monkeypatch.setattr(pk, "_BACKEND", "split")
+    _, aux_split = geonet.geonet_loss(params, pb, config)
+    monkeypatch.setattr(pk, "_BACKEND", "pair")
+    _, aux_pair = geonet.geonet_loss(params, pb, config)
+    np.testing.assert_allclose(float(aux_pair["loss_rigid_warp"]),
+                               float(aux_split["loss_rigid_warp"]),
+                               rtol=3e-5)
+    np.testing.assert_allclose(float(aux_pair["loss_total"]),
+                               float(aux_split["loss_total"]), rtol=3e-5)
+
+
 def test_geonet_stage1_loss_matches_split(monkeypatch):
     """End-to-end: the stage-1 GeoNet loss with the fused kernel equals
     the split-ops loss (tiny config, interpreter on CPU)."""
