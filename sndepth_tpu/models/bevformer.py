@@ -172,8 +172,10 @@ class DetectionTransformerDecoder(nn.Module):
         ref = reference_points
         for li in range(self.num_layers):
             q = query + (query_pos if query_pos is not None else 0.0)
+            # value = the PRE-positional query (mmcv MultiheadAttention
+            # binds value before query_pos is added).
             sa = nn.MultiHeadDotProductAttention(
-                num_heads=self.num_heads, dtype=self.dtype)(q, q)
+                num_heads=self.num_heads, dtype=self.dtype)(q, q, query)
             query = nn.LayerNorm(dtype=self.dtype)(query + sa)
             query = CustomMSDeformableAttention(
                 self.embed_dims, dtype=self.dtype)(

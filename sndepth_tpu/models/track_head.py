@@ -29,10 +29,14 @@ Array = jax.Array
 
 class _Branch(nn.Module):
     """Per-decoder-layer cls/reg/past-traj MLP (`track_head.py:84-128`
-    builds one clone per layer with with_box_refine=True; same here)."""
+    builds one clone per layer with with_box_refine=True; same here).
+    The classification branch interleaves LayerNorms
+    (`track_head.py:85-90`: Linear, LayerNorm, ReLU per hidden layer);
+    the reg/past-traj branches are plain Linear+ReLU stacks."""
     out_dim: int
     hidden: int = 256
     layers: int = 2
+    use_ln: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -40,6 +44,8 @@ class _Branch(nn.Module):
         h = x
         for _ in range(self.layers):
             h = nn.Dense(self.hidden, dtype=self.dtype)(h)
+            if self.use_ln:
+                h = nn.LayerNorm(dtype=self.dtype)(h)
             h = nn.relu(h)
         return nn.Dense(self.out_dim, dtype=jnp.float32)(
             h.astype(jnp.float32))
@@ -74,7 +80,8 @@ class BEVFormerTrackHead(nn.Module):
             dtype=self.dtype)
         # One branch clone per decoder layer (`track_head.py:117-121`).
         n = self.num_decoder_layers
-        self.cls_branches = [_Branch(self.num_classes, dtype=self.dtype)
+        self.cls_branches = [_Branch(self.num_classes, use_ln=True,
+                                     dtype=self.dtype)
                              for _ in range(n)]
         self.reg_branches = [_Branch(10, dtype=self.dtype)
                              for _ in range(n)]
@@ -83,6 +90,21 @@ class BEVFormerTrackHead(nn.Module):
         self.past_traj_branches = [
             _Branch((self.past_steps + self.fut_steps) * 2,
                     dtype=self.dtype) for _ in range(n)]
+        # PerceptionTransformer learned embeddings + can-bus MLP
+        # (`transformer_modules/transformer.py:69-80`): per-level and
+        # per-camera feature embeddings added to the flattened values,
+        # and an 18-dim can-bus signal MLP added to the BEV queries.
+        self.level_embeds = self.param(
+            "level_embeds", nn.initializers.normal(1.0),
+            (self.num_levels, self.embed_dims))
+        self.cams_embeds = self.param(
+            "cams_embeds", nn.initializers.normal(1.0),
+            (self.num_cams, self.embed_dims))
+        self.can_bus_mlp = [
+            nn.Dense(self.embed_dims // 2, name="can_bus_mlp1"),
+            nn.Dense(self.embed_dims, name="can_bus_mlp2"),
+            nn.LayerNorm(name="can_bus_norm"),
+        ]
 
     def bev_positional(self) -> Array:
         ys = (jnp.arange(self.bev_h, dtype=jnp.float32) + 0.5) / self.bev_h
@@ -96,16 +118,29 @@ class BEVFormerTrackHead(nn.Module):
                          lidar2img: Array, img_hw: tuple[int, int],
                          prev_bev: Array | None = None,
                          ego_shift: Array | None = None,
-                         ego_rotation_deg: Array | None = None) -> Array:
+                         ego_rotation_deg: Array | None = None,
+                         can_bus: Array | None = None) -> Array:
         """mlvl_feats: list over levels of (num_cams, B, h_l, w_l, C)."""
         b = mlvl_feats[0].shape[1]
         spatial_shapes = [(f.shape[2], f.shape[3]) for f in mlvl_feats]
+        # Camera + level embeddings on the flattened values
+        # (`transformer.py:160-170`).
         value = jnp.concatenate(
             [f.reshape(self.num_cams, b, -1, self.embed_dims)
-             for f in mlvl_feats], axis=2)
+             + self.cams_embeds[:, None, None, :].astype(f.dtype)
+             + self.level_embeds[li][None, None, None, :].astype(f.dtype)
+             for li, f in enumerate(mlvl_feats)], axis=2)
 
         bev_queries = jnp.broadcast_to(
             self.bev_embedding[None], (b,) + self.bev_embedding.shape)
+        # can-bus signal MLP added to every BEV query
+        # (`transformer.py:73-80,152-155`); zeros = stationary ego.
+        if can_bus is None:
+            can_bus = jnp.zeros((18,), jnp.float32)
+        cb = nn.relu(self.can_bus_mlp[0](can_bus))
+        cb = nn.relu(self.can_bus_mlp[1](cb))
+        cb = self.can_bus_mlp[2](cb)
+        bev_queries = bev_queries + cb.astype(bev_queries.dtype)
         bev_pos = self.bev_positional().astype(bev_queries.dtype)
 
         if prev_bev is not None and ego_shift is not None:

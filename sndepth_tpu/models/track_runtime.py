@@ -43,6 +43,8 @@ class TrackInstances:
     disappear_time: Array   # (N,) int32
     mem_bank: Array         # (N, mem_len, C) embedding FIFO
     mem_valid: Array        # (N, mem_len) bool
+    save_period: Array      # (N,) int32 memory-bank save cooldown
+    #                         (`modules.py:38-45`)
     iou: Array              # (N,) matched-GT IoU (train bookkeeping,
     #                         `track_uniad.py:210-212`; zeros at inference)
 
@@ -70,6 +72,7 @@ def empty_tracks(num_query: int, embed_dims: int, num_classes: int = 10,
         disappear_time=jnp.zeros((num_query,), jnp.int32),
         mem_bank=jnp.zeros((num_query, mem_len, c)),
         mem_valid=jnp.zeros((num_query, mem_len), bool),
+        save_period=jnp.zeros((num_query,), jnp.int32),
         iou=jnp.zeros((num_query,)),
     )
 
@@ -149,10 +152,22 @@ def velocity_update_reference_points(tracks: TrackInstances,
 
 
 class MemoryBank(nn.Module):
-    """Temporal embedding FIFO + attention fusion (`modules.py:7-92`)."""
+    """Temporal embedding FIFO + attention fusion (`modules.py:7-92`).
+
+    Structure mirrors the reference exactly: ``temporal_attn`` over the
+    per-track history bank, residual + ``temporal_norm1``, a
+    ``temporal_fc1``/``temporal_fc2`` FFN with residual +
+    ``temporal_norm2`` (`modules.py:55-80`) — applied only to slots whose
+    newest bank entry is valid, others pass through untouched; the pushed
+    embedding goes through ``save_proj`` (`modules.py:47-53`) and saves
+    run on a ``save_period`` cooldown of 3 frames above
+    ``save_thresh`` (`modules.py:38-45`; the reference train path saves
+    every scoring frame — handled by ``train`` here)."""
     embed_dims: int = 256
     mem_len: int = 4
+    save_thresh: float = 0.0     # memory_bank_score_thresh (config)
     dtype: Any = jnp.float32
+    train: bool = False
 
     @nn.compact
     def __call__(self, tracks: TrackInstances) -> TrackInstances:
@@ -160,25 +175,43 @@ class MemoryBank(nn.Module):
         bank = tracks.mem_bank                               # (N, M, C)
         valid = tracks.mem_valid                             # (N, M)
 
-        # Fuse history into the current embedding (skip empty banks).
+        # Fuse history into the current embedding for slots whose newest
+        # memory entry is valid (`modules.py:61`); others pass through.
         q = emb[:, None, :]
         attn = nn.MultiHeadDotProductAttention(
-            num_heads=8, dtype=self.dtype)(
+            num_heads=8, dtype=self.dtype, name="temporal_attn")(
                 q, bank, mask=valid[:, None, None, :])
-        has_hist = jnp.any(valid, axis=-1)[:, None]
-        fused = jnp.where(has_hist, emb + attn[:, 0], emb)
-        fused = nn.LayerNorm(dtype=self.dtype)(fused)
+        fused = nn.LayerNorm(dtype=self.dtype,
+                             name="temporal_norm1")(emb + attn[:, 0])
+        ff = nn.Dense(2 * self.embed_dims, dtype=self.dtype,
+                      name="temporal_fc1")(fused)
+        ff = nn.Dense(self.embed_dims, dtype=self.dtype,
+                      name="temporal_fc2")(nn.relu(ff))
+        fused = nn.LayerNorm(dtype=self.dtype,
+                             name="temporal_norm2")(fused + ff)
+        has_hist = valid[:, -1:]
+        fused = jnp.where(has_hist, fused, emb)
 
-        # FIFO push for assigned slots.
-        push = (tracks.obj_idxes >= 0)[:, None, None]
-        new_bank = jnp.concatenate([bank[:, 1:], fused[:, None]], axis=1)
+        # FIFO push on the save-period cooldown (`modules.py:38-53`).
+        if self.train:
+            save = tracks.scores > 0.0
+            period = tracks.save_period
+        else:
+            save = ((tracks.save_period == 0)
+                    & (tracks.scores > self.save_thresh))
+            period = jnp.maximum(tracks.save_period - 1, 0)
+            period = jnp.where(save, 3, period)
+        saved = nn.Dense(self.embed_dims, dtype=self.dtype,
+                         name="save_proj")(fused)
+        push = save[:, None, None]
+        new_bank = jnp.concatenate([bank[:, 1:], saved[:, None]], axis=1)
         new_valid = jnp.concatenate(
             [valid[:, 1:], jnp.ones_like(valid[:, :1])], axis=1)
         bank = jnp.where(push, new_bank, bank)
         valid = jnp.where(push[..., 0], new_valid, valid)
 
         return tracks.replace(output_embedding=fused, mem_bank=bank,
-                              mem_valid=valid)
+                              mem_valid=valid, save_period=period)
 
 
 def qim_select_train(tracks: TrackInstances, rng: Array,

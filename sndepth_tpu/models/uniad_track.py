@@ -46,7 +46,11 @@ def uniad_reference_config(**overrides) -> "UniADTrack":
                decoder_layers=6, backbone_blocks=(3, 4, 23, 3),
                pc_range=(-51.2, -51.2, -5.0, 51.2, 51.2, 3.0),
                score_thresh=0.4, filter_score_thresh=0.35,
-               miss_tolerance=5, mem_len=4)
+               miss_tolerance=5, mem_len=4,
+               # caffe-style R101 with fully frozen (eval-mode) BN
+               # (`track_uniad.py:953-966`) — exactly a per-channel
+               # affine, so released checkpoints convert losslessly.
+               backbone_style="caffe", backbone_norm="affine")
     cfg.update(overrides)
     return UniADTrack(**cfg)
 
@@ -61,26 +65,52 @@ class TrackState:
     has_prev: Array           # bool scalar
 
 
+class _ChannelAffine(nn.Module):
+    """Per-channel scale+bias — an eval-mode (frozen) BatchNorm.
+
+    The reference backbone freezes its BN completely
+    (`track_uniad.py:959-961`: ``norm_cfg=dict(type='BN2d',
+    requires_grad=False), norm_eval=True, frozen_stages=4``), so at every
+    forward it is exactly this affine; the weight converter folds the BN
+    gamma/beta/mean/var into (scale, bias). Param shapes match
+    nn.GroupNorm so config switches keep tree shapes aligned."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return (x * scale.astype(self.dtype)
+                + bias.astype(self.dtype)).astype(self.dtype)
+
+
 class _Bottleneck(nn.Module):
     features: int
     stride: int
     dtype: Any
     use_dcn: bool = False   # DCNv2 on the 3x3 (`track_uniad.py:962-966`)
+    style: str = "pytorch"  # "caffe" puts the stride on the first 1x1
+    norm: str = "gn"        # "affine" = frozen-BN per-channel affine
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         def gn(h):
+            if self.norm == "affine":
+                return _ChannelAffine(dtype=self.dtype)(h)
             return nn.GroupNorm(num_groups=32, dtype=self.dtype)(h)
 
-        h = nn.Conv(self.features, (1, 1), use_bias=False,
-                    dtype=self.dtype)(x)
+        s1 = self.stride if self.style == "caffe" else 1
+        s2 = 1 if self.style == "caffe" else self.stride
+        h = nn.Conv(self.features, (1, 1), strides=(s1,) * 2,
+                    use_bias=False, dtype=self.dtype)(x)
         h = nn.relu(gn(h))
         if self.use_dcn:
             from sndepth_tpu.models.deformable import DeformConv2d
-            h = DeformConv2d(self.features, kernel=3, stride=self.stride,
+            h = DeformConv2d(self.features, kernel=3, stride=s2,
                              dtype=self.dtype)(h)
         else:
-            h = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
+            h = nn.Conv(self.features, (3, 3), strides=(s2,) * 2,
                         padding="SAME", use_bias=False, dtype=self.dtype)(h)
         h = nn.relu(gn(h))
         h = nn.Conv(4 * self.features, (1, 1), use_bias=False,
@@ -101,13 +131,18 @@ class ResNetFPN(nn.Module):
     embed_dims: int = 256
     # DCNv2 stages, reference `stage_with_dcn=(False, False, True, True)`
     stage_with_dcn: Sequence[bool] = (False, False, True, True)
+    style: str = "pytorch"   # reference config is "caffe"
+    norm: str = "gn"         # "affine" = frozen BN (reference config)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> list[Array]:
         h = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME",
                     use_bias=False, dtype=self.dtype)(x.astype(self.dtype))
-        h = nn.relu(nn.GroupNorm(num_groups=32, dtype=self.dtype)(h))
+        if self.norm == "affine":
+            h = nn.relu(_ChannelAffine(dtype=self.dtype)(h))
+        else:
+            h = nn.relu(nn.GroupNorm(num_groups=32, dtype=self.dtype)(h))
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding="SAME")
 
         feats = []
@@ -116,7 +151,8 @@ class ResNetFPN(nn.Module):
             for bi in range(blocks):
                 stride = 2 if (bi == 0 and si > 0) else 1
                 h = _Bottleneck(width, stride, self.dtype,
-                                use_dcn=self.stage_with_dcn[si])(h)
+                                use_dcn=self.stage_with_dcn[si],
+                                style=self.style, norm=self.norm)(h)
             feats.append(h)
         c2, c3, c4, c5 = feats   # 1/4 .. 1/32
 
@@ -129,8 +165,10 @@ class ResNetFPN(nn.Module):
             laterals[i] = laterals[i] + up
         outs = [nn.Conv(self.embed_dims, (3, 3), padding="SAME",
                         dtype=self.dtype)(l) for l in laterals]
+        # relu_before_extra_convs=True in the reference neck
+        # (`track_uniad.py:967-975`).
         extra = nn.Conv(self.embed_dims, (3, 3), strides=(2, 2),
-                        padding="SAME", dtype=self.dtype)(outs[-1])
+                        padding="SAME", dtype=self.dtype)(nn.relu(outs[-1]))
         return outs + [extra]    # 1/8, 1/16, 1/32, 1/64
 
 
@@ -150,10 +188,14 @@ class UniADTrack(nn.Module):
     filter_score_thresh: float = 0.35
     miss_tolerance: int = 5
     mem_len: int = 4
+    backbone_style: str = "pytorch"
+    backbone_norm: str = "gn"
     dtype: Any = jnp.float32
 
     def setup(self):
         self.backbone = ResNetFPN(self.backbone_blocks, self.embed_dims,
+                                  style=self.backbone_style,
+                                  norm=self.backbone_norm,
                                   dtype=self.dtype)
         self.head = BEVFormerTrackHead(
             bev_h=self.bev_h, bev_w=self.bev_w, embed_dims=self.embed_dims,
@@ -166,7 +208,7 @@ class UniADTrack(nn.Module):
             (self.num_query, 2 * self.embed_dims))
         self.ref_points_linear = nn.Dense(3, name="reference_points")
         self.memory_bank = MemoryBank(self.embed_dims, self.mem_len,
-                                      self.dtype)
+                                      dtype=self.dtype)
         self.qim = QueryInteractionModule(
             embed_dims=self.embed_dims, update_query_pos=True,
             dtype=self.dtype)
@@ -190,12 +232,14 @@ class UniADTrack(nn.Module):
     def get_bevs(self, imgs: Array, lidar2img: Array,
                  prev_bev: Array | None = None,
                  ego_shift: Array | None = None,
-                 ego_rotation_deg: Array | None = None) -> Array:
+                 ego_rotation_deg: Array | None = None,
+                 can_bus: Array | None = None) -> Array:
         feats = self.extract_img_feat(imgs)
         img_hw = (imgs.shape[2], imgs.shape[3])
         return self.head.get_bev_features(
             feats, lidar2img, img_hw, prev_bev=prev_bev,
-            ego_shift=ego_shift, ego_rotation_deg=ego_rotation_deg)
+            ego_shift=ego_shift, ego_rotation_deg=ego_rotation_deg,
+            can_bus=can_bus)
 
     def init_state(self) -> TrackState:
         return TrackState(

@@ -140,12 +140,24 @@ def test_velocity_reference_update():
 def test_memory_bank_and_qim():
     mb = tr.MemoryBank(embed_dims=8, mem_len=3)
     tracks = tr.empty_tracks(4, 8)
+    # Save gating follows the reference (`modules.py:38-45`): a slot is
+    # pushed iff save_period==0 AND score > save_thresh; slot 3 scores 0.
     tracks = tracks.replace(
         obj_idxes=jnp.array([0, 1, -1, -1], jnp.int32),
+        scores=jnp.array([0.9, 0.8, 0.7, 0.0]),
         output_embedding=jnp.ones((4, 8)))
     v = mb.init(jax.random.PRNGKey(0), tracks)
     out = mb.apply(v, tracks)
-    assert bool(out.mem_valid[0, -1]) and not bool(out.mem_valid[2, -1])
+    assert bool(out.mem_valid[0, -1]) and not bool(out.mem_valid[3, -1])
+    # pushed slots enter the 3-frame save cooldown
+    assert int(out.save_period[0]) == 3 and int(out.save_period[3]) == 0
+    # slots with no valid history pass their embedding through untouched
+    np.testing.assert_allclose(np.asarray(out.output_embedding),
+                               np.asarray(tracks.output_embedding))
+    # second update: newest entry now valid -> temporal attn fuses
+    out_b = mb.apply(v, out)
+    assert not np.allclose(np.asarray(out_b.output_embedding[0]),
+                           np.asarray(out.output_embedding[0]))
 
     qim = tr.QueryInteractionModule(embed_dims=8)
     vq = qim.init(jax.random.PRNGKey(0), out)
