@@ -59,6 +59,12 @@ _C2 = 0.03 ** 2
 # the plane fits VMEM).
 _BACKEND = os.environ.get("SNDEPTH_PHOTO_BACKEND", "auto")
 
+# The default scoped-VMEM budget is 16MB; the pair kernel's resident set
+# (inputs+outputs double-buffered + 16 scratch planes) legitimately needs
+# more at batch-128 scale 0 (23.8MB measured). v5e VMEM is 128MB — raise
+# the per-kernel cap to match the 48MB dispatch gate in :func:`pair_ok`.
+_VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
 
 def _pool3(pbuf, val, h, w):
     """3x3/9 zero-padded average pool via one (h+2, w+2) scratch buffer,
@@ -237,6 +243,7 @@ def _run(tgt, src, coords, alpha, mode, need_grad):
                         pltpu.VMEM((nch, htp, wtp), jnp.float32),
                         pltpu.VMEM((nch, htp, wtp), jnp.float32),
                         pltpu.VMEM((htp + 2, wtp + 2), jnp.float32)],
+        compiler_params=_VMEM_PARAMS,
         interpret=_interpret(),
     )(xs, ys, src_p, tgt_p, meta)
     loss_part, dxp, dyp = outs
@@ -410,6 +417,7 @@ def _pair_run(tgt, srcs, coords_f, coords_b, alpha, mode, need_grad):
                         pltpu.VMEM((htp + 2, wtp + 2), jnp.float32),
                         pltpu.VMEM((nch, htp, wtp), jnp.float32),
                         pltpu.VMEM((nch, htp, wtp), jnp.float32)],
+        compiler_params=_VMEM_PARAMS,
         interpret=_interpret(),
     )(xs_f, ys_f, xs_b, ys_b, src_p, tgt_p, meta)
     loss_part, dxf, dyf, dxb, dyb = outs
