@@ -28,6 +28,12 @@ All six reference checkpoint families are supported:
     # DINO ViT-S/16 (`models/image_f_extract.py:39-43`)
     python -m sndepth_tpu.cli.convert_weights dino \
         --ckpt dino_deitsmall16_pretrain.pth --out converted/dino
+
+    # UniAD track model (R101-DCN + BEVFormer head + QIM + memory bank,
+    # `track_uniad.py` module tree; motion/occ/planner heads of full
+    # UniAD checkpoints are ignored)
+    python -m sndepth_tpu.cli.convert_weights uniad \
+        --ckpt uniad_base_track_map.pth --out converted/uniad
 """
 
 from __future__ import annotations
@@ -53,7 +59,8 @@ def main(argv=None) -> None:
             ("raft3d", "RAFT3D scene-flow .pth"),
             ("vae", "AutoencoderKL ckpt (first_stage_model. stripped)"),
             ("motion", "MotionFusionNet best.pt"),
-            ("dino", "DINO ViT-S/16 checkpoint")):
+            ("dino", "DINO ViT-S/16 checkpoint"),
+            ("uniad", "UniAD track .pth (R101+BEVFormer+QIM+membank)")):
         s = sub.add_parser(kind, help=helptext)
         s.add_argument("--ckpt", required=True)
         s.add_argument("--out", required=True, help="output checkpoint dir")
@@ -72,6 +79,8 @@ def main(argv=None) -> None:
         params = cw.convert_vae_checkpoint(args.ckpt)
     elif args.kind == "motion":
         params = cw.convert_motionfusion_checkpoint(args.ckpt)
+    elif args.kind == "uniad":
+        params = cw.convert_uniad_checkpoint(args.ckpt)
     else:
         params = cw.convert_dino_checkpoint(args.ckpt)
     path = ckpt_lib.save_checkpoint(args.out, params, 0)

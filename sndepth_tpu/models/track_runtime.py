@@ -183,7 +183,8 @@ class MemoryBank(nn.Module):
                 q, bank, mask=valid[:, None, None, :])
         fused = nn.LayerNorm(dtype=self.dtype,
                              name="temporal_norm1")(emb + attn[:, 0])
-        ff = nn.Dense(2 * self.embed_dims, dtype=self.dtype,
+        # hidden_dim = embed_dims (`track_uniad.py:138-143`)
+        ff = nn.Dense(self.embed_dims, dtype=self.dtype,
                       name="temporal_fc1")(fused)
         ff = nn.Dense(self.embed_dims, dtype=self.dtype,
                       name="temporal_fc2")(nn.relu(ff))
@@ -272,19 +273,20 @@ class QueryInteractionModule(nn.Module):
             num_heads=8, dtype=self.dtype)(
                 qk, qk, emb[None], mask=mask[:, None, None, :])
         tgt = nn.LayerNorm(dtype=self.dtype)(emb[None] + attn)
-        ff = nn.Dense(2 * c, dtype=self.dtype)(tgt)
+        # hidden_dim = embed_dims (`track_uniad.py:129-133`)
+        ff = nn.Dense(c, dtype=self.dtype)(tgt)
         ff = nn.Dense(c, dtype=self.dtype)(nn.relu(ff))
         tgt = nn.LayerNorm(dtype=self.dtype)(tgt + ff)[0]    # (N, C)
 
         if self.update_query_pos:
-            pos2 = nn.Dense(2 * c, dtype=self.dtype, name="pos_ffn1")(tgt)
+            pos2 = nn.Dense(c, dtype=self.dtype, name="pos_ffn1")(tgt)
             pos2 = nn.Dense(c, dtype=self.dtype,
                             name="pos_ffn2")(nn.relu(pos2))
             new_pos = nn.LayerNorm(dtype=self.dtype,
                                    name="pos_norm")(query_pos + pos2)
             query_pos = jnp.where(update_mask[:, None], new_pos, query_pos)
 
-        feat2 = nn.Dense(2 * c, dtype=self.dtype, name="feat_ffn1")(tgt)
+        feat2 = nn.Dense(c, dtype=self.dtype, name="feat_ffn1")(tgt)
         feat2 = nn.Dense(c, dtype=self.dtype,
                          name="feat_ffn2")(nn.relu(feat2))
         new_feat = nn.LayerNorm(dtype=self.dtype,

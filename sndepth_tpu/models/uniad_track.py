@@ -110,8 +110,11 @@ class _Bottleneck(nn.Module):
             h = DeformConv2d(self.features, kernel=3, stride=s2,
                              dtype=self.dtype)(h)
         else:
+            # Explicit (1,1) padding: torch pads symmetrically; flax SAME
+            # on stride-2 pads (0,1) which misaligns the windows.
             h = nn.Conv(self.features, (3, 3), strides=(s2,) * 2,
-                        padding="SAME", use_bias=False, dtype=self.dtype)(h)
+                        padding=((1, 1), (1, 1)), use_bias=False,
+                        dtype=self.dtype)(h)
         h = nn.relu(gn(h))
         h = nn.Conv(4 * self.features, (1, 1), use_bias=False,
                     dtype=self.dtype)(h)
@@ -137,13 +140,17 @@ class ResNetFPN(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> list[Array]:
-        h = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME",
+        # Explicit torch-style symmetric padding on the strided stem ops
+        # (flax SAME pads asymmetrically on even inputs -> misaligned
+        # windows vs the released checkpoints).
+        h = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, dtype=self.dtype)(x.astype(self.dtype))
         if self.norm == "affine":
             h = nn.relu(_ChannelAffine(dtype=self.dtype)(h))
         else:
             h = nn.relu(nn.GroupNorm(num_groups=32, dtype=self.dtype)(h))
-        h = nn.max_pool(h, (3, 3), strides=(2, 2), padding="SAME")
+        h = nn.max_pool(h, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)))
 
         feats = []
         for si, (blocks, width) in enumerate(
@@ -168,7 +175,8 @@ class ResNetFPN(nn.Module):
         # relu_before_extra_convs=True in the reference neck
         # (`track_uniad.py:967-975`).
         extra = nn.Conv(self.embed_dims, (3, 3), strides=(2, 2),
-                        padding="SAME", dtype=self.dtype)(nn.relu(outs[-1]))
+                        padding=((1, 1), (1, 1)),
+                        dtype=self.dtype)(nn.relu(outs[-1]))
         return outs + [extra]    # 1/8, 1/16, 1/32, 1/64
 
 

@@ -615,3 +615,248 @@ def convert_nnet_checkpoint(path: str, architecture: str = "GN") -> dict:
            if k.startswith("decoder.")}
     return {"encoder": convert_efficientnet(enc),
             "decoder": convert_normal_decoder(dec, architecture)}
+
+
+# ---------------------------------------------------------------------------
+# UniAD track model (`/root/reference/models/track_uniad.py` +
+# `track_head.py` + `track_head_plugin/modules.py` +
+# `register_module/transformer_modules/*`). Checkpoint layout is the mmcv
+# module tree: img_backbone (caffe R101, frozen BN, DCNv2 stages 3-4),
+# img_neck (FPN), pts_bbox_head (BEVFormer encoder/decoder + branch
+# clones), query_interact (QIM), memory_bank, query_embedding,
+# reference_points.
+# ---------------------------------------------------------------------------
+
+
+def _dense(sd: dict, prefix: str) -> dict:
+    """torch Linear -> flax Dense (kernel = weight.T)."""
+    out = {"kernel": np.asarray(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return out
+
+
+def _attn_from_inproj(sd: dict, prefix: str, heads: int) -> dict:
+    """torch nn.MultiheadAttention (packed ``in_proj_weight``) -> flax
+    MultiHeadDotProductAttention params."""
+    w = np.asarray(sd[f"{prefix}.in_proj_weight"])      # (3*dim, dim)
+    b = np.asarray(sd[f"{prefix}.in_proj_bias"])
+    dim = w.shape[1]
+    hd = dim // heads
+    out: dict = {}
+    for i, name in enumerate(("query", "key", "value")):
+        wi = w[i * dim:(i + 1) * dim]
+        out[name] = {"kernel": wi.T.reshape(dim, heads, hd),
+                     "bias": b[i * dim:(i + 1) * dim].reshape(heads, hd)}
+    pw = np.asarray(sd[f"{prefix}.out_proj.weight"])
+    out["out"] = {"kernel": pw.T.reshape(heads, hd, dim),
+                  "bias": np.asarray(sd[f"{prefix}.out_proj.bias"])}
+    return out
+
+
+def _bn_affine(sd: dict, prefix: str, eps: float = 1e-5) -> dict:
+    """Frozen (eval-mode) BatchNorm2d -> per-channel affine
+    (`models/uniad_track.py:_ChannelAffine`): scale = gamma/sqrt(var+eps),
+    bias = beta - mean*scale."""
+    g = np.asarray(sd[f"{prefix}.weight"], np.float64)
+    beta = np.asarray(sd[f"{prefix}.bias"], np.float64)
+    mean = np.asarray(sd[f"{prefix}.running_mean"], np.float64)
+    var = np.asarray(sd[f"{prefix}.running_var"], np.float64)
+    scale = g / np.sqrt(var + eps)
+    return {"scale": scale.astype(np.float32),
+            "bias": (beta - mean * scale).astype(np.float32)}
+
+
+def _dcn_w(t) -> np.ndarray:
+    """mmcv ModulatedDeformConv2d weight (out, in, kh, kw) ->
+    DeformConv2d kernel (kh*kw, in, out) (row-major tap order matches the
+    meshgrid('ij') base grid)."""
+    w = np.asarray(t)
+    co, ci, kh, kw = w.shape
+    return w.transpose(2, 3, 1, 0).reshape(kh * kw, ci, co)
+
+
+def convert_uniad_backbone(sd: dict, blocks=(3, 4, 23, 3),
+                           stage_with_dcn=(False, False, True, True),
+                           embed_dims: int = 256) -> dict:
+    """``img_backbone.*`` + ``img_neck.*`` ->
+    :class:`sndepth_tpu.models.uniad_track.ResNetFPN` params
+    (caffe style, frozen-BN channel affine; `track_uniad.py:953-980`)."""
+    p: dict = {"Conv_0": {"kernel": _conv_w(sd["img_backbone.conv1.weight"])},
+               "_ChannelAffine_0": _bn_affine(sd, "img_backbone.bn1")}
+    n = 0
+    for si, nb in enumerate(blocks):
+        for bi in range(nb):
+            t = f"img_backbone.layer{si + 1}.{bi}"
+            blk: dict = {"Conv_0": {
+                "kernel": _conv_w(sd[f"{t}.conv1.weight"])}}
+            ai = [_bn_affine(sd, f"{t}.bn1"), _bn_affine(sd, f"{t}.bn2"),
+                  _bn_affine(sd, f"{t}.bn3")]
+            if stage_with_dcn[si]:
+                blk["DeformConv2d_0"] = {
+                    "kernel": _dcn_w(sd[f"{t}.conv2.weight"]),
+                    "conv_offset": {
+                        "kernel": _conv_w(
+                            sd[f"{t}.conv2.conv_offset.weight"]),
+                        "bias": np.asarray(
+                            sd[f"{t}.conv2.conv_offset.bias"])}}
+                ci = 1
+            else:
+                blk["Conv_1"] = {"kernel": _conv_w(sd[f"{t}.conv2.weight"])}
+                ci = 2
+            blk[f"Conv_{ci}"] = {"kernel": _conv_w(sd[f"{t}.conv3.weight"])}
+            if f"{t}.downsample.0.weight" in sd:
+                blk[f"Conv_{ci + 1}"] = {
+                    "kernel": _conv_w(sd[f"{t}.downsample.0.weight"])}
+                ai.append(_bn_affine(sd, f"{t}.downsample.1"))
+            for j, a in enumerate(ai):
+                blk[f"_ChannelAffine_{j}"] = a
+            p[f"_Bottleneck_{n}"] = blk
+            n += 1
+    # FPN: 3 laterals (c3..c5) then 3 output convs + 1 extra
+    # (`track_uniad.py:967-975`: in [512,1024,2048], num_outs 4).
+    for i in range(3):
+        p[f"Conv_{i + 1}"] = {
+            "kernel": _conv_w(sd[f"img_neck.lateral_convs.{i}.conv.weight"]),
+            "bias": np.asarray(sd[f"img_neck.lateral_convs.{i}.conv.bias"])}
+    for i in range(4):
+        p[f"Conv_{i + 4}"] = {
+            "kernel": _conv_w(sd[f"img_neck.fpn_convs.{i}.conv.weight"]),
+            "bias": np.asarray(sd[f"img_neck.fpn_convs.{i}.conv.bias"])}
+    return p
+
+
+def _deform_attn(sd: dict, prefix: str, with_out: bool = True) -> dict:
+    out = {"sampling_offsets": _dense(sd, f"{prefix}.sampling_offsets"),
+           "attention_weights": _dense(sd, f"{prefix}.attention_weights"),
+           "value_proj": _dense(sd, f"{prefix}.value_proj")}
+    if with_out:
+        out["output_proj"] = _dense(sd, f"{prefix}.output_proj")
+    return out
+
+
+def _branch(sd: dict, prefix: str, with_ln: bool) -> dict:
+    """Sequential branch clone (`track_head.py:84-107`): cls interleaves
+    LayerNorms (indices 0,1,3,4,6), reg/past-traj are 0,2,4."""
+    if with_ln:
+        return {"Dense_0": _dense(sd, f"{prefix}.0"),
+                "LayerNorm_0": _ln(sd, f"{prefix}.1"),
+                "Dense_1": _dense(sd, f"{prefix}.3"),
+                "LayerNorm_1": _ln(sd, f"{prefix}.4"),
+                "Dense_2": _dense(sd, f"{prefix}.6")}
+    return {"Dense_0": _dense(sd, f"{prefix}.0"),
+            "Dense_1": _dense(sd, f"{prefix}.2"),
+            "Dense_2": _dense(sd, f"{prefix}.4")}
+
+
+def convert_uniad_head(sd: dict, encoder_layers: int = 6,
+                       decoder_layers: int = 6) -> dict:
+    """``pts_bbox_head.*`` ->
+    :class:`sndepth_tpu.models.track_head.BEVFormerTrackHead` params."""
+    h = "pts_bbox_head"
+    t = f"{h}.transformer"
+    p: dict = {
+        "bev_embedding": np.asarray(sd[f"{h}.bev_embedding.weight"]),
+        "level_embeds": np.asarray(sd[f"{t}.level_embeds"]),
+        "cams_embeds": np.asarray(sd[f"{t}.cams_embeds"]),
+        "can_bus_mlp1": _dense(sd, f"{t}.can_bus_mlp.0"),
+        "can_bus_mlp2": _dense(sd, f"{t}.can_bus_mlp.2"),
+        "can_bus_norm": _ln(sd, f"{t}.can_bus_mlp.norm"),
+    }
+    enc: dict = {}
+    for i in range(encoder_layers):
+        q = f"{t}.encoder.layers.{i}"
+        enc[f"TemporalSelfAttention_{i}"] = _deform_attn(
+            sd, f"{q}.attentions.0")
+        enc[f"SpatialCrossAttention_{i}"] = {
+            "deformable_attention": _deform_attn(
+                sd, f"{q}.attentions.1.deformable_attention",
+                with_out=False),
+            "output_proj": _dense(sd, f"{q}.attentions.1.output_proj")}
+        enc[f"FFN_{i}"] = {"Dense_0": _dense(sd, f"{q}.ffns.0.layers.0.0"),
+                           "Dense_1": _dense(sd, f"{q}.ffns.0.layers.1")}
+        for j in range(3):
+            enc[f"LayerNorm_{3 * i + j}"] = _ln(sd, f"{q}.norms.{j}")
+    p["encoder"] = enc
+    dec: dict = {}
+    for i in range(decoder_layers):
+        q = f"{t}.decoder.layers.{i}"
+        dec[f"MultiHeadDotProductAttention_{i}"] = _attn_from_inproj(
+            sd, f"{q}.attentions.0.attn", heads=8)
+        dec[f"CustomMSDeformableAttention_{i}"] = _deform_attn(
+            sd, f"{q}.attentions.1")
+        dec[f"FFN_{i}"] = {"Dense_0": _dense(sd, f"{q}.ffns.0.layers.0.0"),
+                           "Dense_1": _dense(sd, f"{q}.ffns.0.layers.1")}
+        for j in range(3):
+            dec[f"LayerNorm_{3 * i + j}"] = _ln(sd, f"{q}.norms.{j}")
+    p["decoder"] = dec
+    for i in range(decoder_layers):
+        p[f"cls_branches_{i}"] = _branch(sd, f"{h}.cls_branches.{i}", True)
+        p[f"reg_branches_{i}"] = _branch(sd, f"{h}.reg_branches.{i}", False)
+        p[f"past_traj_branches_{i}"] = _branch(
+            sd, f"{h}.past_traj_reg_branches.{i}", False)
+    return p
+
+
+def convert_uniad_memory_bank(sd: dict) -> dict:
+    """``memory_bank.*`` -> :class:`~track_runtime.MemoryBank` params."""
+    return {
+        "save_proj": _dense(sd, "memory_bank.save_proj"),
+        "temporal_attn": _attn_from_inproj(
+            sd, "memory_bank.temporal_attn", heads=8),
+        "temporal_fc1": _dense(sd, "memory_bank.temporal_fc1"),
+        "temporal_fc2": _dense(sd, "memory_bank.temporal_fc2"),
+        "temporal_norm1": _ln(sd, "memory_bank.temporal_norm1"),
+        "temporal_norm2": _ln(sd, "memory_bank.temporal_norm2"),
+    }
+
+
+def convert_uniad_qim(sd: dict) -> dict:
+    """``query_interact.*`` -> :class:`~track_runtime.QueryInteractionModule`
+    params (update_query_pos=True layout)."""
+    return {
+        "MultiHeadDotProductAttention_0": _attn_from_inproj(
+            sd, "query_interact.self_attn", heads=8),
+        "Dense_0": _dense(sd, "query_interact.linear1"),
+        "Dense_1": _dense(sd, "query_interact.linear2"),
+        "LayerNorm_0": _ln(sd, "query_interact.norm1"),
+        "LayerNorm_1": _ln(sd, "query_interact.norm2"),
+        "pos_ffn1": _dense(sd, "query_interact.linear_pos1"),
+        "pos_ffn2": _dense(sd, "query_interact.linear_pos2"),
+        "pos_norm": _ln(sd, "query_interact.norm_pos"),
+        "feat_ffn1": _dense(sd, "query_interact.linear_feat1"),
+        "feat_ffn2": _dense(sd, "query_interact.linear_feat2"),
+        "feat_norm": _ln(sd, "query_interact.norm_feat"),
+    }
+
+
+def convert_uniad(sd: dict, blocks=(3, 4, 23, 3),
+                  stage_with_dcn=(False, False, True, True),
+                  encoder_layers: int = 6, decoder_layers: int = 6) -> dict:
+    """Full UniAD track checkpoint state_dict -> params for
+    :class:`sndepth_tpu.models.uniad_track.UniADTrack` (built with
+    ``uniad_reference_config()``: caffe backbone, frozen-BN affine).
+
+    ``query_embedding`` keeps the reference's num_query+1 rows (the last
+    is the ego query, `track_uniad.py:119`); our ``num_query`` counts it.
+    Extra checkpoint keys (motion/occ/planner heads of full UniAD) are
+    ignored."""
+    sd = _strip_module(sd)
+    p: dict = {
+        "backbone": convert_uniad_backbone(sd, blocks, stage_with_dcn),
+        "head": convert_uniad_head(sd, encoder_layers, decoder_layers),
+        "query_embedding": np.asarray(sd["query_embedding.weight"]),
+        "reference_points": _dense(sd, "reference_points"),
+        "memory_bank": convert_uniad_memory_bank(sd),
+        "qim": convert_uniad_qim(sd),
+    }
+    return p
+
+
+def convert_uniad_checkpoint(path: str, **kw) -> dict:
+    """Load a UniAD track ``.pth`` (state_dict possibly nested under
+    ``state_dict``) and convert."""
+    import torch
+    ckpt = torch.load(path, map_location="cpu")
+    sd = ckpt.get("state_dict", ckpt)
+    return convert_uniad(sd, **kw)
