@@ -65,15 +65,26 @@ def decoder_multi_scale_loss(norm_outs, sampled_preds, sampled_idx,
     for s in range(1, len(norm_outs)):
         if sampled_preds[s] is None or sampled_idx[s] is None:
             continue
-        rows, cols = sampled_idx[s]
         h_s, w_s = norm_outs[s].shape[1:3]
         gt_s = resize_bilinear_align_corners(gt_normals, h_s, w_s)
         gt_s = gt_s / (jnp.linalg.norm(gt_s, axis=-1, keepdims=True) + 1e-8)
-        gt_pts = gather_points(gt_s, rows, cols)
-        mask_pts = None
-        if gt_mask is not None:
-            m = resize_bilinear_align_corners(
-                gt_mask.astype(jnp.float32)[..., None], h_s, w_s)
-            mask_pts = gather_points(m, rows, cols)[..., 0]
-        total = total + angular_nll(sampled_preds[s], gt_pts, mask_pts)
+        if isinstance(sampled_idx[s], tuple):
+            # gather form: (B, N, 4) points at (rows, cols)
+            rows, cols = sampled_idx[s]
+            gt_pts = gather_points(gt_s, rows, cols)
+            mask_pts = None
+            if gt_mask is not None:
+                m = resize_bilinear_align_corners(
+                    gt_mask.astype(jnp.float32)[..., None], h_s, w_s)
+                mask_pts = gather_points(m, rows, cols)[..., 0]
+            total = total + angular_nll(sampled_preds[s], gt_pts, mask_pts)
+        else:
+            # dense form: (B, h, w, 4) prediction + (B, h, w) selection
+            # mask — same weighted mean over the same selected points.
+            sel = sampled_idx[s]
+            if gt_mask is not None:
+                m = resize_bilinear_align_corners(
+                    gt_mask.astype(jnp.float32)[..., None], h_s, w_s)
+                sel = sel * m[..., 0]
+            total = total + angular_nll(sampled_preds[s], gt_s, sel)
     return total / len(norm_outs)

@@ -173,13 +173,35 @@ class PointMLP(nn.Module):
         return nn.Dense(4, dtype=jnp.float32)(h.astype(jnp.float32))
 
 
+def selection_mask(rows: Array, cols: Array, h: int, w: int) -> Array:
+    """(B, N) sampled coordinates -> (B, h, w) float32 {0,1} mask."""
+    b = rows.shape[0]
+    flat = rows * w + cols
+    bidx = jnp.broadcast_to(jnp.arange(b)[:, None], flat.shape)
+    mask = jnp.zeros((b, h * w), jnp.float32)
+    return mask.at[bidx, flat].set(1.0).reshape(b, h, w)
+
+
 class NormalDecoder(nn.Module):
     """Outputs a list of (B, h_s, w_s, 4) normal+kappa maps at 1/8, 1/4,
     1/2, 1/1 of the *encoder input* resolution, plus per-scale sampled
-    predictions and sample indices in train mode."""
+    predictions and sample indices in train mode.
+
+    ``dense_refine`` (default, TPU-first): train mode evaluates the
+    pointwise refinement MLP DENSELY and selects with the sampling mask —
+    numerically identical to the reference's gather -> per-point MLP ->
+    scatter (the MLP is pointwise, so dense evaluation produces the same
+    values at the sampled coordinates), but the (B,N,C) feature gathers,
+    the (B,H,W,4) scatter and their transposed scatters in the backward
+    disappear; the MXU eats the extra pointwise FLOPs for ~free. XProf on
+    the gather form at batch 4: ~100 ms/step of gather/scatter/copy
+    fusions vs <2 ms of dense MLP matmuls. With dense_refine the
+    per-scale return is (pred_map, selection_mask) instead of
+    ((B,N,4) points, (rows, cols))."""
     sampling_ratio: float = 0.4
     importance_ratio: float = 0.7
     architecture: str = "GN"
+    dense_refine: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -224,16 +246,27 @@ class NormalDecoder(nn.Module):
                 rows, cols = sample_points(
                     rngs[level], jax.lax.stop_gradient(up), gt_norm_mask,
                     self.sampling_ratio, self.importance_ratio)
-                feat_pts = gather_points(
-                    resize_bilinear_align_corners(
-                        feat_maps[level], up.shape[1], up.shape[2]),
-                    rows, cols)
-                init_pts = gather_points(up, rows, cols)
-                pred = norm_normalize(mlps[level](
-                    jnp.concatenate([feat_pts, init_pts], axis=-1)))
-                out = scatter_points(up, rows, cols, pred)
-                sampled_preds.append(pred)
-                sampled_idx.append((rows, cols))
+                if self.dense_refine:
+                    sel = selection_mask(rows, cols, up.shape[1],
+                                         up.shape[2])
+                    feat_up = resize_bilinear_align_corners(
+                        feat_maps[level], up.shape[1], up.shape[2])
+                    pred = norm_normalize(mlps[level](
+                        jnp.concatenate([feat_up, up], axis=-1)))
+                    out = jnp.where(sel[..., None] > 0.5, pred, up)
+                    sampled_preds.append(pred)
+                    sampled_idx.append(sel)
+                else:
+                    feat_pts = gather_points(
+                        resize_bilinear_align_corners(
+                            feat_maps[level], up.shape[1], up.shape[2]),
+                        rows, cols)
+                    init_pts = gather_points(up, rows, cols)
+                    pred = norm_normalize(mlps[level](
+                        jnp.concatenate([feat_pts, init_pts], axis=-1)))
+                    out = scatter_points(up, rows, cols, pred)
+                    sampled_preds.append(pred)
+                    sampled_idx.append((rows, cols))
             else:
                 feat_up = resize_bilinear_align_corners(
                     feat_maps[level], up.shape[1], up.shape[2])

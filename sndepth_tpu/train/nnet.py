@@ -31,6 +31,7 @@ class NormalNet(nn.Module):
     sampling_ratio: float = 0.4
     importance_ratio: float = 0.7
     architecture: str = "GN"
+    dense_refine: bool = True
     dtype: Any = jnp.float32
     shift_depthwise: bool = False
 
@@ -44,7 +45,8 @@ class NormalNet(nn.Module):
         return NormalDecoder(
             sampling_ratio=self.sampling_ratio,
             importance_ratio=self.importance_ratio,
-            architecture=self.architecture, dtype=self.dtype)(
+            architecture=self.architecture,
+            dense_refine=self.dense_refine, dtype=self.dtype)(
                 feats, gt_norm_mask=gt_norm_mask, mode=mode, rng=rng,
                 train_norm=train)
 
@@ -76,9 +78,10 @@ def create_train_state(rng: Array, sample_shape=(1, 64, 96),
 
 
 def train_step(state: NormalTrainState, batch: dict, dtype=jnp.float32,
-               shift_depthwise: bool = False):
+               shift_depthwise: bool = False, dense_refine: bool = True):
     """batch: rgb (B,H,W,3) in [0,1]-ish, normals (B,H,W,3), mask (B,H,W)."""
-    model = NormalNet(dtype=dtype, shift_depthwise=shift_depthwise)
+    model = NormalNet(dtype=dtype, shift_depthwise=shift_depthwise,
+                      dense_refine=dense_refine)
     rng, sample_rng = jax.random.split(state.rng)
 
     def loss_fn(params):
@@ -102,7 +105,9 @@ def train_step(state: NormalTrainState, batch: dict, dtype=jnp.float32,
             {"loss": loss})
 
 
-def make_train_step(dtype=jnp.float32, shift_depthwise: bool = False):
+def make_train_step(dtype=jnp.float32, shift_depthwise: bool = False,
+                    dense_refine: bool = True):
     return jax.jit(functools.partial(train_step, dtype=dtype,
-                                     shift_depthwise=shift_depthwise),
+                                     shift_depthwise=shift_depthwise,
+                                     dense_refine=dense_refine),
                    donate_argnums=(0,))

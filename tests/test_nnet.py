@@ -160,10 +160,59 @@ def test_decoder_test_and_train_paths():
         norms = np.linalg.norm(np.asarray(o)[..., :3], axis=-1)
         np.testing.assert_allclose(norms, 1.0, atol=1e-4)
 
-    outs_t, sampled, idx = dec.apply(variables, feats, mode="train",
-                                     rng=jax.random.PRNGKey(1))
+    dec_g = NormalDecoder(dense_refine=False)
+    outs_t, sampled, idx = dec_g.apply(variables, feats, mode="train",
+                                       rng=jax.random.PRNGKey(1))
     assert sampled[1].shape[1] == int(0.4 * (h // 4) * (w // 4))
     assert idx[1][0].shape == sampled[1].shape[:2]
+
+
+def test_decoder_dense_refine_matches_gather_form():
+    """dense_refine (TPU-first masked-dense train path) must equal the
+    reference's gather -> point MLP -> scatter form: identical output
+    maps, identical loss, identical parameter gradients."""
+    from sndepth_tpu.losses.normal_loss import decoder_multi_scale_loss
+
+    h, w = 64, 96
+    key = jax.random.PRNGKey(7)
+    ks = jax.random.split(key, 7)
+    feats = {
+        "stage0": jax.random.normal(ks[0], (2, h // 2, w // 2, 24)),
+        "stage1": jax.random.normal(ks[1], (2, h // 4, w // 4, 40)),
+        "stage2": jax.random.normal(ks[2], (2, h // 8, w // 8, 64)),
+        "stage4": jax.random.normal(ks[3], (2, h // 16, w // 16, 176)),
+        "head": jax.random.normal(ks[4], (2, h // 32, w // 32, 2048)),
+    }
+    gt = jax.random.normal(ks[5], (2, h, w, 3))
+    gt = gt / jnp.linalg.norm(gt, axis=-1, keepdims=True)
+    gt_mask = (jax.random.uniform(ks[6], (2, h, w, 1)) > 0.2)
+
+    variables = NormalDecoder().init(jax.random.PRNGKey(0), feats,
+                                     mode="test")
+    srng = jax.random.PRNGKey(3)
+
+    def run(dense):
+        def loss_fn(params):
+            outs, sampled, idx = NormalDecoder(dense_refine=dense).apply(
+                {"params": params}, feats, mode="train",
+                gt_norm_mask=gt_mask, rng=srng)
+            loss = decoder_multi_scale_loss(outs, sampled, idx, gt,
+                                            gt_mask[..., 0])
+            return loss, outs
+        (loss, outs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(variables["params"])
+        return loss, outs, grads
+
+    loss_d, outs_d, g_d = run(True)
+    loss_g, outs_g, g_g = run(False)
+    np.testing.assert_allclose(float(loss_d), float(loss_g), rtol=1e-6)
+    for a, b in zip(outs_d, outs_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    flat_d = jax.tree_util.tree_leaves(g_d)
+    flat_g = jax.tree_util.tree_leaves(g_g)
+    for a, b in zip(flat_d, flat_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
 
 
 @pytest.mark.slow
