@@ -473,7 +473,7 @@ def _fwd_kernel(x_ref, y_ref, img_ref, meta_ref, out_ref, *refs, h, w,
         sl = pl.ds(ro, _SUB)
         x = x_ref[0, sl].astype(jnp.float32)
         y = y_ref[0, sl].astype(jnp.float32)
-        meta = tuple(meta_ref[0, t, 0, k] for k in range(_NMETA))
+        meta = tuple(meta_ref[0, 0, t, k] for k in range(_NMETA))
 
         def store(accs, txs, tys):
             for ch in range(nch):
@@ -552,10 +552,15 @@ def _forward(imgs, coords, mode, save_tangents=False):
     hp, wp = planes.shape[2], planes.shape[3]
     grid = (b, htp // (_SUB * _TPS), wtp // _LANE)
     ncol = wtp // _LANE
+    # Meta is laid out (b, ncol, rows, NMETA) so the SMEM block's last two
+    # dims are (_TPS, _NMETA) = (8, 8): Mosaic requires the last two block
+    # dims to be (8,128)-divisible or equal to the array dims — a
+    # (1, _TPS, 1, _NMETA) block over (b, rows, ncol, NMETA) fails to
+    # lower whenever ncol > 1 (the dim-(-2) block of 1 is neither).
     meta = tile_meta(xs, ys, h, w, mode, hp, wp).reshape(
-        b, htp // _SUB, ncol, _NMETA)
-    meta_spec = pl.BlockSpec((1, _TPS, 1, _NMETA),
-                             lambda bi, hb, wb: (bi, hb, wb, 0),
+        b, htp // _SUB, ncol, _NMETA).transpose(0, 2, 1, 3)
+    meta_spec = pl.BlockSpec((1, 1, _TPS, _NMETA),
+                             lambda bi, hb, wb: (bi, wb, hb, 0),
                              memory_space=pltpu.SMEM)
     out_spec = pl.BlockSpec((1, nch, _SUB * _TPS, _LANE),
                             lambda bi, hb, wb: (bi, 0, hb, wb),

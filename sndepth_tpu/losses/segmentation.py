@@ -12,19 +12,28 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import optax
 
 Array = jax.Array
 
 
 def cross_entropy(logits: Array, labels: Array,
                   class_weights: Array | None = None) -> Array:
-    """logits: (..., C) float; labels: (...,) int."""
-    per_pixel = optax.softmax_cross_entropy_with_integer_labels(
-        logits, labels)
+    """logits: (..., C) float; labels: (...,) int.
+
+    One-hot contraction form: ``take_along_axis(log_probs, labels)`` (what
+    optax's integer-label CE does) lowers on TPU to a one-element-per-row
+    general gather — XProf showed it as a single 72 ms/step fusion in the
+    motion train step (4.7M rows at batch 16). ``sum(logits * one_hot)``
+    is elementwise + a small-axis reduce and fuses into the producers;
+    same value to f32 rounding."""
+    logits = logits.astype(jnp.float32)
+    c = logits.shape[-1]
+    oh = jax.nn.one_hot(labels, c, dtype=logits.dtype)
+    log_z = jax.scipy.special.logsumexp(logits, axis=-1)
+    per_pixel = log_z - jnp.sum(logits * oh, axis=-1)
     if class_weights is None:
         return jnp.mean(per_pixel)
-    w = jnp.asarray(class_weights, per_pixel.dtype)[labels]
+    w = jnp.sum(oh * jnp.asarray(class_weights, logits.dtype), axis=-1)
     return jnp.sum(per_pixel * w) / jnp.maximum(jnp.sum(w), 1e-12)
 
 
