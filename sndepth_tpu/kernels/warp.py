@@ -626,6 +626,9 @@ def _scatter_d_imgs(imgs, coords, g, mode):
 # for tests/debug via SNDEPTH_WARP_SPLAT=xla|pallas.
 _SPLAT = os.environ.get("SNDEPTH_WARP_SPLAT", "auto")
 
+_SNMETA = 16          # per-tile scalar-metadata fields for the splat
+                      # (see splat_meta; padded to 16 for the SMEM block)
+
 
 def _splat_ok(h, w, nch, coords) -> bool:
     if _SPLAT == "xla":
@@ -638,7 +641,74 @@ def _splat_ok(h, w, nch, coords) -> bool:
     return coords.shape[1] * coords.shape[2] >= 512
 
 
-def _splat_kernel(x_ref, y_ref, v_ref, out_ref, *, h, w, nch, mode):
+def splat_meta(xs: Array, ys: Array, h: int, w: int, mode: str,
+               hp: int, wp: int) -> Array:
+    """Per-(8,128)-tile scalar metadata for the splat kernel, in XLA.
+
+    Same rationale as :func:`tile_meta`: every in-kernel vector->scalar
+    reduction stalls the scalar unit on the vector pipeline and the
+    data-dependent loop bounds stall the vector unit back on the scalar
+    result — measured (round 2) at ~50 us/tile, 75x the fast path's
+    vector-op cost, which made the stage-2 flow step splat-bound
+    (212 ms for one (64,128,416,2) splat). Precomputing the ~10 scalars
+    per tile here and reading them from SMEM removes every reduction
+    from the kernel.
+
+    Returns int32 (B, n_tiles, _SNMETA) with fields
+    [path(0=fast|1=slow), ybase, cbase, smin, smax, tmin, tmax,
+     ymin, ymax, cmin, cmax, narrow, 0...]:
+
+    * s = tap_column - lane: the dynamic lane-roll shifts; the fast loop
+      runs s in [smin, smax].
+    * ty = tap_row - ybase - sublane: the dynamic sublane-roll shifts
+      relative to the 24-row accumulator window at ``ybase``.
+    * cbase: base of the 3-aligned-chunk column window. THREE chunks, not
+      two — an identity-ish tile's ~130-column tap span straddles three
+      aligned chunks whenever it crosses a boundary downward (the same
+      lesson as the forward kernel's band3 path); with a 2-chunk window
+      most real tiles fell to the slow path.
+    * ymin/ymax/cmin/cmax: slow-path loop bounds; ``narrow`` selects the
+      bounded [smin, smax] shift loop there (full 128-residue sweep
+      otherwise).
+    """
+    b, htp, wtp = xs.shape
+    nr, nc = htp // _SUB, wtp // _LANE
+    nchunk = wp // _LANE
+    kwin = min(_round_up(24, _SUB), hp)
+    cwin3 = min(3, nchunk)
+
+    x0i, x1i, y0i, y1i, *_ = _tap_setup(
+        xs.astype(jnp.float32), ys.astype(jnp.float32), h, w, mode)
+    lane = jnp.arange(wtp, dtype=jnp.int32)[None, None, :] % _LANE
+    subl = jnp.arange(htp, dtype=jnp.int32)[None, :, None] % _SUB
+
+    def t(a):
+        return a.reshape(b, nr, _SUB, nc, _LANE)
+
+    red = (2, 4)
+    smin = jnp.minimum(t(x0i - lane).min(red), t(x1i - lane).min(red))
+    smax = jnp.maximum(t(x0i - lane).max(red), t(x1i - lane).max(red))
+    ymin = t(y0i).min(red)
+    ymax = t(y1i).max(red)
+    cmin = t(x0i).min(red) // _LANE
+    cmax = t(x1i).max(red) // _LANE
+    ybase = jnp.clip((ymin // _SUB) * _SUB, 0, hp - kwin)
+    tmin = t(y0i - subl).min(red) - ybase
+    tmax = t(y1i - subl).max(red) - ybase
+    cbase = jnp.clip(cmin, 0, nchunk - cwin3)
+    narrow = (smax - smin) < _LANE
+    fast = ((ymax - ybase < kwin) & (cmax - cbase < cwin3) & narrow)
+    path = jnp.where(fast, 0, 1)
+    zero = jnp.zeros_like(path)
+    meta = jnp.stack(
+        [path, ybase, cbase, smin, smax, tmin, tmax, ymin, ymax, cmin,
+         cmax, narrow.astype(jnp.int32)] + [zero] * (_SNMETA - 12),
+        axis=-1)
+    return meta.reshape(b, nr * nc, _SNMETA).astype(jnp.int32)
+
+
+def _splat_kernel(x_ref, y_ref, v_ref, meta_ref, out_ref, *, h, w, nch,
+                  mode):
     """Transpose of the warp: scatter the 4 bilinear taps of each tile
     pixel into the VMEM-resident (nch, Hp, Wp) output plane.
 
@@ -647,25 +717,31 @@ def _splat_kernel(x_ref, y_ref, v_ref, out_ref, *, h, w, nch, mode):
     smooth warps only produce a handful of distinct shifts per tile, so
     the fast path loops s over the tile's [smin, smax] range, masks the
     pixels whose tap has that shift, ``pltpu.roll``\\ s the weighted values
-    into lane position, reduces over sublanes into the single target row,
-    and accumulates per-window registers. Pathological tiles take a
-    bounded fallback looping all 128 shift residues per (row, chunk).
+    into lane position, rolls sublanes by the relative row shift ty, and
+    accumulates per-(group, chunk) window registers over a 24-row x
+    3-chunk window. Pathological tiles take a bounded fallback looping
+    shift residues per (row, chunk). All tile scalars (path select,
+    window bases, loop bounds) are precomputed in XLA (:func:`splat_meta`)
+    and read from SMEM — no vector->scalar reductions in the kernel.
     The output block stays resident across the whole grid row of one
     batch image (constant index_map), so cross-tile collisions just
     accumulate sequentially.
     """
-    hp, wp = out_ref.shape[1], out_ref.shape[2]
+    # Block shape is (1, nch, hp, wp). Round-2 note: this line once read
+    # shape[1], shape[2] = (nch, hp), which made kwin/cwin degenerate and
+    # silently disabled the fast path forever (every tile ran the slow
+    # path — the 212 ms/splat that dominated the stage-2 flow step).
+    hp, wp = out_ref.shape[2], out_ref.shape[3]
     nchunk = wp // _LANE
     # 24-row window: a tile spans 8 output rows, alignment eats up to 7,
     # leaving +-4 rows of y-jitter headroom (16 left only +-0.5).
     kwin = min(_round_up(24, _SUB), hp)
-    cwin = min(_CWIN, nchunk)
+    cwin = min(3, nchunk)
 
     @pl.when((pl.program_id(1) == 0) & (pl.program_id(2) == 0))
     def _init():
         out_ref[...] = jnp.zeros(out_ref.shape, jnp.float32)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 1)
     subl = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 0)
 
     def collapse(acc, r):
@@ -682,31 +758,21 @@ def _splat_kernel(x_ref, y_ref, v_ref, out_ref, *, h, w, nch, mode):
             x, y, h, w, mode)
         vs = [v_ref[0, ch, sl].astype(jnp.float32) for ch in range(nch)]
 
+        (path, ybase, cbase, smin, smax, tmin, tmax, ymin, ymax, cminv,
+         cmaxv) = tuple(meta_ref[0, 0, t, k] for k in range(11))
+        narrow = meta_ref[0, 0, t, 11]
+        fast = path == 0
+
         q0 = x0i // _LANE
         q1 = x1i // _LANE
+        lane = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 1)
         s0 = x0i - lane
         s1 = x1i - lane
-        smin = jnp.minimum(jnp.min(s0), jnp.min(s1))
-        smax = jnp.maximum(jnp.max(s0), jnp.max(s1))
-
-        ymin = jnp.min(y0i)
-        ymax = jnp.max(y1i)
-        cminv = jnp.min(q0)
-        cmaxv = jnp.max(q1)
-        ybase = jnp.clip((ymin // _SUB) * _SUB, 0, hp - kwin)
-        cbase = jnp.clip(cminv, 0, nchunk - cwin)
-        fast = ((ymax - ybase < kwin) & (cmaxv - cbase < cwin)
-                & (smax - smin < _LANE))
-
-        # Sublane (row) shifts relative to the accumulator window: a tile
-        # pixel at sublane sr targeting absolute row k sits at
-        # ty = (k - ybase) - sr; (sr + ty) in [0, kwin) by the fast gate,
-        # so after rolling sublanes by ty mod 8 the pixel is at its target
-        # sublane and its target group is (sr + ty) // 8.
+        # ty = (target row - ybase) - source sublane: after rolling
+        # sublanes by ty mod 8 the pixel is at its target sublane within
+        # the kwin-row window and its target group is (sr + ty) // 8.
         t0 = (y0i - ybase) - subl
         t1 = (y1i - ybase) - subl
-        tmin = jnp.minimum(jnp.min(t0), jnp.min(t1))
-        tmax = jnp.maximum(jnp.max(t0), jnp.max(t1))
 
         @pl.when(fast)
         def _fast_path():
@@ -766,9 +832,8 @@ def _splat_kernel(x_ref, y_ref, v_ref, out_ref, *, h, w, nch, mode):
             # Loop the tile's actual shift range when it is narrower than
             # a full rotation (residue masks match exactly once there);
             # fall back to all 128 residues otherwise.
-            narrow = smax - smin < _LANE
-            s_lo = jnp.where(narrow, smin, 0)
-            s_hi = jnp.where(narrow, smax + 1, _LANE)
+            s_lo = jnp.where(narrow == 1, smin, 0)
+            s_hi = jnp.where(narrow == 1, smax + 1, _LANE)
 
             def row_body(k, _):
                 roww = (wy0 * (y0i == k).astype(jnp.float32)
@@ -822,19 +887,29 @@ def _splat(coords, g, h, w, mode):
     gf = jnp.pad(gf, ((0, 0), (0, 0), (0, htp - ht), (0, wtp - wt)))
 
     grid = (b, htp // (_SUB * _TPS), wtp // _LANE)
+    ncol = wtp // _LANE
+    # Meta laid out (b, ncol, rows, _SNMETA) so the SMEM block's last two
+    # dims are (_TPS, _SNMETA) = (8, 16) — same Mosaic lowering constraint
+    # as the forward kernel's meta (see _forward).
+    meta = splat_meta(xs, ys, h, w, mode, hp, wp).reshape(
+        b, htp // _SUB, ncol, _SNMETA).transpose(0, 2, 1, 3)
+    meta_spec = pl.BlockSpec((1, 1, _TPS, _SNMETA),
+                             lambda bi, hb, wb: (bi, wb, hb, 0),
+                             memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         functools.partial(_splat_kernel, h=h, w=w, nch=nch, mode=mode),
         grid=grid,
         in_specs=[_coord_spec(), _coord_spec(),
                   pl.BlockSpec((1, nch, _SUB * _TPS, _LANE),
                                lambda bi, hb, wb: (bi, 0, hb, wb),
-                               memory_space=pltpu.VMEM)],
+                               memory_space=pltpu.VMEM),
+                  meta_spec],
         out_specs=pl.BlockSpec((1, nch, hp, wp),
                                lambda bi, hb, wb: (bi, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, nch, hp, wp), jnp.float32),
         interpret=_interpret(),
-    )(xs, ys, gf)
+    )(xs, ys, gf, meta)
     out = out[:, :, :h, :w]
     return jnp.transpose(out, (0, 2, 3, 1))
 
