@@ -641,6 +641,46 @@ def _splat_ok(h, w, nch, coords) -> bool:
     return coords.shape[1] * coords.shape[2] >= 512
 
 
+def _splat_eff_taps(x, y, h, w, mode, col_id, row_id, hp, wp):
+    """Tap indices/weights with *dead* taps remapped to identity position.
+
+    A tap contributes nothing when its weight is zero (``zero_pad``
+    validity masks) or when clipping collapsed the x0/x1 (y0/y1) pair onto
+    the same pixel (``edge_zero``: the pair's weights sum to x1-x0 = 0, so
+    it cancels regardless of where the pair lands — as long as both taps
+    land on the SAME pixel). Dead taps are therefore free to be placed
+    anywhere — but their *clipped* indices collapse onto image borders,
+    which wrecks the splat kernel's per-tile span statistics: a border
+    tile whose flow points outside the image gets s = 0 - lane spanning
+    the whole tile (slow path), and the half-padded last lane chunk of a
+    416-wide image gets a ~98-wide s span (a "fast" tile doing 50x the
+    loop iterations — measured 64 ms for a (64,128,416,3) splat that
+    should cost ~5 ms). Remapping dead taps to the pixel's own (col, row)
+    keeps every span identity-tight.
+
+    ``col_id``/``row_id`` are the pixel's global output-plane position,
+    pre-clipped here to the padded plane so placements stay in-bounds.
+    """
+    x0i, x1i, y0i, y1i, wx0, wx1, wy0, wy1, dm = _tap_setup(
+        x, y, h, w, mode)
+    cid = jnp.minimum(col_id, wp - 1)
+    rid = jnp.minimum(row_id, hp - 1)
+    if mode == "edge_zero":
+        dx = x0i == x1i
+        dy = y0i == y1i
+        x0i = jnp.where(dx, cid, x0i)
+        x1i = jnp.where(dx, cid, x1i)
+        y0i = jnp.where(dy, rid, y0i)
+        y1i = jnp.where(dy, rid, y1i)
+    else:
+        vx0, vx1, vy0, vy1 = dm
+        x0i = jnp.where(vx0 == 0, cid, x0i)
+        x1i = jnp.where(vx1 == 0, cid, x1i)
+        y0i = jnp.where(vy0 == 0, rid, y0i)
+        y1i = jnp.where(vy1 == 0, rid, y1i)
+    return x0i, x1i, y0i, y1i, wx0, wx1, wy0, wy1
+
+
 def splat_meta(xs: Array, ys: Array, h: int, w: int, mode: str,
                hp: int, wp: int) -> Array:
     """Per-(8,128)-tile scalar metadata for the splat kernel, in XLA.
@@ -677,24 +717,33 @@ def splat_meta(xs: Array, ys: Array, h: int, w: int, mode: str,
     kwin = min(_round_up(24, _SUB), hp)
     cwin3 = min(3, nchunk)
 
-    x0i, x1i, y0i, y1i, *_ = _tap_setup(
-        xs.astype(jnp.float32), ys.astype(jnp.float32), h, w, mode)
-    lane = jnp.arange(wtp, dtype=jnp.int32)[None, None, :] % _LANE
-    subl = jnp.arange(htp, dtype=jnp.int32)[None, :, None] % _SUB
+    col_id = jnp.arange(wtp, dtype=jnp.int32)[None, None, :]
+    row_id = jnp.arange(htp, dtype=jnp.int32)[None, :, None]
+    x0i, x1i, y0i, y1i, *_ = _splat_eff_taps(
+        xs.astype(jnp.float32), ys.astype(jnp.float32), h, w, mode,
+        col_id, row_id, hp, wp)
+    lane = col_id % _LANE
+    subl = row_id % _SUB
 
     def t(a):
         return a.reshape(b, nr, _SUB, nc, _LANE)
 
     red = (2, 4)
+    # Min/max over BOTH taps of each pair: the dead-tap remap can break
+    # the y0<=y1 / x0<=x1 ordering (an invalid y0 remapped to the pixel's
+    # own row may exceed a valid y1), so single-tap bounds would exclude
+    # live taps from the kernel's loop ranges.
     smin = jnp.minimum(t(x0i - lane).min(red), t(x1i - lane).min(red))
     smax = jnp.maximum(t(x0i - lane).max(red), t(x1i - lane).max(red))
-    ymin = t(y0i).min(red)
-    ymax = t(y1i).max(red)
-    cmin = t(x0i).min(red) // _LANE
-    cmax = t(x1i).max(red) // _LANE
+    ymin = jnp.minimum(t(y0i).min(red), t(y1i).min(red))
+    ymax = jnp.maximum(t(y0i).max(red), t(y1i).max(red))
+    cmin = jnp.minimum(t(x0i).min(red), t(x1i).min(red)) // _LANE
+    cmax = jnp.maximum(t(x0i).max(red), t(x1i).max(red)) // _LANE
     ybase = jnp.clip((ymin // _SUB) * _SUB, 0, hp - kwin)
-    tmin = t(y0i - subl).min(red) - ybase
-    tmax = t(y1i - subl).max(red) - ybase
+    tmin = jnp.minimum(t(y0i - subl).min(red),
+                       t(y1i - subl).min(red)) - ybase
+    tmax = jnp.maximum(t(y0i - subl).max(red),
+                       t(y1i - subl).max(red)) - ybase
     cbase = jnp.clip(cmin, 0, nchunk - cwin3)
     narrow = (smax - smin) < _LANE
     fast = ((ymax - ybase < kwin) & (cmax - cbase < cwin3) & narrow)
@@ -743,6 +792,10 @@ def _splat_kernel(x_ref, y_ref, v_ref, meta_ref, out_ref, *, h, w, nch,
         out_ref[...] = jnp.zeros(out_ref.shape, jnp.float32)
 
     subl = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 0)
+    # program_id hoisted out of tile_body: interpret mode can't lower it
+    # inside a fori_loop body.
+    col_base = pl.program_id(2) * _LANE
+    row_base = pl.program_id(1) * _TPS
 
     def collapse(acc, r):
         """Sum an (8,128) partial over sublanes into sublane r."""
@@ -754,8 +807,11 @@ def _splat_kernel(x_ref, y_ref, v_ref, meta_ref, out_ref, *, h, w, nch,
         sl = pl.ds(pl.multiple_of(t * _SUB, _SUB), _SUB)
         x = x_ref[0, sl].astype(jnp.float32)
         y = y_ref[0, sl].astype(jnp.float32)
-        (x0i, x1i, y0i, y1i, wx0, wx1, wy0, wy1, _) = _tap_setup(
-            x, y, h, w, mode)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 1)
+        col_id = col_base + lane
+        row_id = (row_base + t) * _SUB + subl
+        (x0i, x1i, y0i, y1i, wx0, wx1, wy0, wy1) = _splat_eff_taps(
+            x, y, h, w, mode, col_id, row_id, hp, wp)
         vs = [v_ref[0, ch, sl].astype(jnp.float32) for ch in range(nch)]
 
         (path, ybase, cbase, smin, smax, tmin, tmax, ymin, ymax, cminv,
@@ -765,7 +821,6 @@ def _splat_kernel(x_ref, y_ref, v_ref, meta_ref, out_ref, *, h, w, nch,
 
         q0 = x0i // _LANE
         q1 = x1i // _LANE
-        lane = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 1)
         s0 = x0i - lane
         s1 = x1i - lane
         # ty = (target row - ybase) - source sublane: after rolling
@@ -878,10 +933,25 @@ def _splat_kernel(x_ref, y_ref, v_ref, meta_ref, out_ref, *, h, w, nch,
 def _splat(coords, g, h, w, mode):
     """(B,Ht,Wt,2) coords + (B,Ht,Wt,C) cotangent -> (B,h,w,C) splat."""
     b, ht, wt, nch = g.shape
-    planes_shape = jnp.zeros((b, h, w, nch), jnp.float32)
-    _, xs, ys, (_, _, _, _, _, _, htp, wtp) = _prep(planes_shape, coords)
     hp = _round_up(h, _SUB)
     wp = _round_up(w, _LANE)
+    htp = _round_up(ht, _SUB * _TPS)
+    wtp = _round_up(wt, _LANE)
+    # Identity-pad the coords (unlike the forward's edge-pad, _prep):
+    # padded pixels carry their own (col, row) position, so their
+    # zero-cotangent taps keep the tile span stats identity-tight. Edge
+    # padding put the last real column's x (e.g. 415) on up to 96 lanes
+    # of a half-padded chunk, spreading s = x0 - lane over ~98 values —
+    # a "fast" tile doing 50x the shift-loop iterations.
+    colf = jnp.arange(wtp, dtype=jnp.float32)
+    rowf = jnp.arange(htp, dtype=jnp.float32)
+    valid = (rowf[:, None] < ht) & (colf[None, :] < wt)
+    cf = jnp.pad(coords.astype(jnp.float32),
+                 ((0, 0), (0, htp - ht), (0, wtp - wt), (0, 0)))
+    xs = jnp.where(valid[None], cf[..., 0],
+                   jnp.broadcast_to(colf[None, None, :], (b, htp, wtp)))
+    ys = jnp.where(valid[None], cf[..., 1],
+                   jnp.broadcast_to(rowf[None, :, None], (b, htp, wtp)))
 
     gf = jnp.transpose(g.astype(jnp.float32), (0, 3, 1, 2))
     gf = jnp.pad(gf, ((0, 0), (0, 0), (0, htp - ht), (0, wtp - wt)))
