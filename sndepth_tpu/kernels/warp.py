@@ -169,27 +169,29 @@ def tile_meta(xs: Array, ys: Array, h: int, w: int, mode: str,
         ybar = y0t.min(axis=4, keepdims=True)
         spread_ok = (y0t - ybar).max(axis=(2, 4)) <= 1
     else:
-        # Monotone form (default; measured 2.5 -> 1.55 ms per batch-128
-        # scale-0 call): floor/clip/// are monotone, and _tap_setup's
-        # indices are the same for both modes, so every field derives from
-        # per-tile (and per-row-chunk, for the sublane spread) min/max of
-        # the RAW f32 coords — 6 reduce_window passes over 2 planes
-        # instead of 5 strided reduces over 4 derived int planes.
+        # Monotone form (default): floor/clip/// are monotone, and
+        # _tap_setup's indices are the same for both modes, so every field
+        # derives from per-tile (and per-row-chunk, for the sublane
+        # spread) min/max of the RAW f32 coords — 6 reductions over 2
+        # planes instead of 5 strided reduces over 4 derived int planes.
+        # Expressed as reshape + axis-reduce, NOT lax.reduce_window: the
+        # (1,8,128)-window form made XLA relayout the coord planes to
+        # batch-minor (9 ms copies) and lower each window reduce at
+        # ~2 GB/s (8.6 ms) — 190 of the stage-2 flow step's 258 ms. The
+        # free reshape keeps the natural layout and reduces on-lane.
         xf = xs.astype(jnp.float32)
         yf = ys.astype(jnp.float32)
 
-        def wred(a, comp, init, win):
-            return jax.lax.reduce_window(a, init, comp, win, win, "VALID")
+        def t(a):
+            return a.reshape(b, nr, _SUB, nc, _LANE)
 
-        tilew = (1, _SUB, _LANE)
-        inf = jnp.float32(jnp.inf)
-        xmin = wred(xf, jax.lax.min, inf, tilew)
-        xmax = wred(xf, jax.lax.max, -inf, tilew)
-        ymin_f = wred(yf, jax.lax.min, inf, tilew)
-        ymax_f = wred(yf, jax.lax.max, -inf, tilew)
-        lanew = (1, 1, _LANE)
-        y_rc_min = wred(yf, jax.lax.min, inf, lanew)
-        y_rc_max = wred(yf, jax.lax.max, -inf, lanew)
+        xt, yt = t(xf), t(yf)
+        xmin = xt.min(axis=(2, 4))
+        xmax = xt.max(axis=(2, 4))
+        ymin_f = yt.min(axis=(2, 4))
+        ymax_f = yt.max(axis=(2, 4))
+        y_rc_min = yt.min(axis=4)
+        y_rc_max = yt.max(axis=4)
 
         def cf(v, hi):
             return jnp.clip(jnp.floor(v), 0.0, hi).astype(jnp.int32)
