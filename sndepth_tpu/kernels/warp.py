@@ -123,6 +123,13 @@ def _tap_setup(x, y, h, w, mode):
 
 
 _CWIN = 2             # fast-path lane-chunk window
+_BK = 5               # band-K path: rows {ybar..ybar+_BK-1}, i.e. per-
+                      # sublane y-spread <= _BK-2 (real rigid flows have
+                      # |fy| ~ 2 px of smooth variation within a 128-lane
+                      # row segment, so ~25% of in-training tiles exceed
+                      # the 3-row bands' spread<=1 and fell to the ~10x
+                      # slow path — measured as the dominant cost of the
+                      # scale-0 pair photo kernel, 28.4 ms/step)
 _NMETA = 8            # per-tile scalar-metadata fields (see tile_meta)
 # tile_meta reduction form: "mono" (default) reduces the raw f32 coords
 # with reduce_window and derives the int fields through the monotone tap
@@ -146,7 +153,7 @@ def tile_meta(xs: Array, ys: Array, h: int, w: int, mode: str,
     dependency chain: the scalar core streams ahead on ready SMEM values.
 
     Returns int32 (B, n_tiles, _NMETA) with fields
-    [path(0=band2|1=band3|2=slow), gb, cbase2, cbase3, ymin, ymax,
+    [path(0=band2|1=band3|2=bandK|3=slow), gb, cbase2, cbase3, ymin, ymax,
      cmin, cmax] — exactly the values `_warp_tile` would compute.
     """
     b, htp, wtp = xs.shape
@@ -167,7 +174,9 @@ def tile_meta(xs: Array, ys: Array, h: int, w: int, mode: str,
         cmin = x0t.min(axis=(2, 4)) // _LANE
         cmax = x1t.max(axis=(2, 4)) // _LANE
         ybar = y0t.min(axis=4, keepdims=True)
-        spread_ok = (y0t - ybar).max(axis=(2, 4)) <= 1
+        spread = (y0t - ybar).max(axis=(2, 4))
+        spread_ok = spread <= 1
+        spreadk_ok = spread <= _BK - 2
     else:
         # Monotone form (default): floor/clip/// are monotone, and
         # _tap_setup's indices are the same for both modes, so every field
@@ -202,8 +211,10 @@ def tile_meta(xs: Array, ys: Array, h: int, w: int, mode: str,
         ymin = cf(ymin_f, h - 1.0)
         ymax = jnp.clip(jnp.floor(ymax_f) + 1.0, 0.0,
                         h - 1.0).astype(jnp.int32)
-        spread = cf(y_rc_max, h - 1.0) - cf(y_rc_min, h - 1.0)
-        spread_ok = spread.reshape(b, nr, _SUB, nc).max(2) <= 1
+        spread = (cf(y_rc_max, h - 1.0) - cf(y_rc_min, h - 1.0)
+                  ).reshape(b, nr, _SUB, nc).max(2)
+        spread_ok = spread <= 1
+        spreadk_ok = spread <= _BK - 2
 
     nchunk = wp // _LANE
     cwin = min(_CWIN, nchunk)
@@ -216,9 +227,13 @@ def tile_meta(xs: Array, ys: Array, h: int, w: int, mode: str,
     cbase2 = jnp.clip(cmin, 0, nchunk - cwin)
     band2_ok = spread_ok & row_ok & ((cmax - cbase2) < cwin)
     cbase3 = jnp.clip(cmin, 0, nchunk - cwin3)
+    chunk3_ok = (cmax - cbase3) < cwin3
     band3_ok = (spread_ok & row_ok & jnp.logical_not(band2_ok)
-                & ((cmax - cbase3) < cwin3))
-    path = jnp.where(band2_ok, 0, jnp.where(band3_ok, 1, 2))
+                & chunk3_ok)
+    bandk_ok = (spreadk_ok & jnp.logical_not(spread_ok) & row_ok
+                & chunk3_ok)
+    path = jnp.where(band2_ok, 0,
+                     jnp.where(band3_ok, 1, jnp.where(bandk_ok, 2, 3)))
     meta = jnp.stack([path, gb, cbase2, cbase3, ymin, ymax, cmin, cmax],
                      axis=-1)
     return meta.reshape(b, nr * nc, _NMETA).astype(jnp.int32)
@@ -334,14 +349,18 @@ def _warp_tile(x, y, img_ref, h, w, nch, mode, save_tangents, store,
         # Window base: align min source row down to an 8-row group. y0i is
         # clipped to [0, h-1] in _tap_setup, so y0rel >= 0 always holds.
         gb = jnp.clip((jnp.min(y0i) // _SUB) * _SUB, 0, hp - win)
-        spread_ok = jnp.max(d0) <= 1
+        spread = jnp.max(d0)
+        spread_ok = spread <= 1
         row_ok = jnp.max(y1i) - gb < win
         cbase2 = jnp.clip(cminv, 0, nchunk - cwin)
         band2_ok = spread_ok & row_ok & (cmaxv - cbase2 < cwin)
         cbase3 = jnp.clip(cminv, 0, nchunk - cwin3)
+        chunk3_ok = cmaxv - cbase3 < cwin3
         band3_ok = (spread_ok & row_ok & jnp.logical_not(band2_ok)
-                    & (cmaxv - cbase3 < cwin3))
-        run_slow = jnp.logical_not(band2_ok | band3_ok)
+                    & chunk3_ok)
+        bandk_ok = ((spread <= _BK - 2) & jnp.logical_not(spread_ok)
+                    & row_ok & chunk3_ok)
+        run_slow = jnp.logical_not(band2_ok | band3_ok | bandk_ok)
         slow_bounds = None
     else:
         # Scalars precomputed in XLA (tile_meta) and read from SMEM: no
@@ -349,7 +368,8 @@ def _warp_tile(x, y, img_ref, h, w, nch, mode, save_tangents, store,
         path, gb, cbase2, cbase3, ymin_m, ymax_m, cminv, cmaxv = meta
         band2_ok = path == 0
         band3_ok = path == 1
-        run_slow = path == 2
+        bandk_ok = path == 2
+        run_slow = path == 3
         slow_bounds = (ymin_m, ymax_m, cminv, cmaxv)
 
     def _preload(cbase, ncw):
@@ -421,6 +441,52 @@ def _warp_tile(x, y, img_ref, h, w, nch, mode, save_tangents, store,
                     tys[ch] = tys[ch] + dvy1 * row1 - dvy0 * row0
         store(accs, txs, tys)
 
+    def _bandk_path(cbase, ncw):
+        """Generalized row-band path: rows {ybar..ybar+_BK-1}, covering
+        per-sublane y-spread <= _BK-2 (the 3-row bands handle spread<=1
+        only; in-training rigid flows put ~25% of tiles at spread 2-3,
+        which otherwise fall to the ~10x slow path). Exact one-hot row
+        masks reproduce the reference blend tree:
+        acc = sum_k [wy0*(d0==k) + wy1*(d1==k)] * (wx0*Tk[r0]+wx1*Tk[r1]).
+        """
+        blocks, chunk_w = _preload(cbase, ncw)
+        rels = [jnp.broadcast_to(ybar + k - gb, y0i.shape)
+                for k in range(_BK)]
+        subs = [rel % _SUB for rel in rels]
+        gsels = [rel // _SUB for rel in rels]
+        # Per-row combined y-weights, computed once per tile and shared
+        # across chunks and channels (d0 <= _BK-2 and d1 <= _BK-1 under
+        # the bandk gate, so the masks are exactly one-hot over k).
+        wk = [wy0 * (d0 == k).astype(jnp.float32)
+              + wy1 * (d1 == k).astype(jnp.float32) for k in range(_BK)]
+        if save_tangents:
+            sk = [dvy1 * (d1 == k).astype(jnp.float32)
+                  - dvy0 * (d0 == k).astype(jnp.float32)
+                  for k in range(_BK)]
+        accs = [zero] * nch
+        txs = [zero] * nch
+        tys = [zero] * nch
+        for ci in range(ncw):
+            wx0c, wx1c, dv0c, dv1c = chunk_w[ci]
+            for ch in range(nch):
+                for k in range(_BK):
+                    u = jnp.take_along_axis(blocks[ci, 0, ch], subs[k],
+                                            axis=0)
+                    for g in range(1, ngrp):
+                        u = jnp.where(
+                            gsels[k] == g,
+                            jnp.take_along_axis(blocks[ci, g, ch],
+                                                subs[k], axis=0), u)
+                    t0g = jnp.take_along_axis(u, r0, axis=1)
+                    t1g = jnp.take_along_axis(u, r1, axis=1)
+                    a_k = wx0c * t0g + wx1c * t1g
+                    accs[ch] = accs[ch] + wk[k] * a_k
+                    if save_tangents:
+                        txs[ch] = txs[ch] + wk[k] * (dv1c * t1g
+                                                     - dv0c * t0g)
+                        tys[ch] = tys[ch] + sk[k] * a_k
+        store(accs, txs, tys)
+
     @pl.when(band2_ok)
     def _band2():
         _band_path(cbase2, cwin)
@@ -429,6 +495,10 @@ def _warp_tile(x, y, img_ref, h, w, nch, mode, save_tangents, store,
         @pl.when(band3_ok)
         def _band3():
             _band_path(cbase3, cwin3)
+
+    @pl.when(bandk_ok)
+    def _bandk():
+        _bandk_path(cbase3, cwin3)
 
     @pl.when(run_slow)
     def _slow_path():

@@ -143,6 +143,45 @@ def test_pair_wild_coords_slow_path():
     np.testing.assert_allclose(got, want, rtol=2e-5)
 
 
+@pytest.mark.parametrize("mode", ["edge_zero", "zero_pad"])
+def test_pair_bandk_spread_coords(mode):
+    """y-spread 2-3 within a row segment (band-K warp path): pair loss and
+    coord gradients must still match the split ops."""
+    import sndepth_tpu.kernels.warp as wk
+    from sndepth_tpu.kernels.photo_loss import warp_photo_pair_loss
+    rng = np.random.RandomState(14)
+    b, ns, h, w, c = 1, 2, 16, 300, 3
+    tgt = jnp.asarray(rng.rand(b, h, w, c) * 2 - 1, jnp.float32)
+    srcs = jnp.asarray(rng.rand(b, ns, h, w, c) * 2 - 1, jnp.float32)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    grid = np.stack([xs, ys], -1)[None, None].repeat(b, 0).repeat(ns, 1)
+    tilt = np.stack([0.3 * np.sin(ys / 5.0), 1.5 * np.sin(xs / 60.0)], -1)
+    cf = jnp.asarray(grid + tilt + rng.uniform(-0.3, 0.3, grid.shape),
+                     jnp.float32)
+    cb = jnp.asarray(grid + tilt + rng.uniform(-0.3, 0.3, grid.shape),
+                     jnp.float32)
+    wp = wk._round_up(w, wk._LANE)
+    meta = np.asarray(wk.tile_meta(
+        jnp.pad(cf[:, 0, ..., 0], ((0, 0), (0, 0), (0, wp - w)),
+                mode="edge"),
+        jnp.pad(cf[:, 0, ..., 1], ((0, 0), (0, 0), (0, wp - w)),
+                mode="edge"), h, w, mode, h, wp))
+    assert (meta[..., 0] == 2).any(), "coords must exercise band-K"
+    got = float(warp_photo_pair_loss(tgt, srcs, cf, cb, ALPHA, mode))
+    want = float(_pair_ref(tgt, srcs, cf, cb, mode))
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+    gf, gb = jax.grad(
+        lambda a, b2: 0.37 * warp_photo_pair_loss(
+            tgt, srcs, a, b2, ALPHA, mode), argnums=(0, 1))(cf, cb)
+    rf, rb = jax.grad(
+        lambda a, b2: 0.37 * _pair_ref(tgt, srcs, a, b2, mode),
+        argnums=(0, 1))(cf, cb)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(rf),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(rb),
+                               atol=2e-4, rtol=1e-3)
+
+
 def test_geonet_stage1_loss_pair_matches_split(monkeypatch):
     """End-to-end: the PAIR kernel path in the stage-1 GeoNet loss equals
     the split-ops loss (tiny config, interpreter on CPU)."""

@@ -186,6 +186,47 @@ def test_kernel_diagonal_fast_path_tall_image():
         np.testing.assert_allclose(gp, gr, atol=1e-4, err_msg=mode)
 
 
+def test_kernel_bandk_path_matches():
+    """Per-sublane y-spread 2-3 (rigid flows with ~2 px of smooth fy
+    variation within a 128-lane row segment) engages the band-K path —
+    values and coordinate gradients must match both XLA samplers, and the
+    meta must actually classify some tiles as path 2."""
+    import sndepth_tpu.kernels.warp as wk
+
+    rng = np.random.RandomState(13)
+    b, h, w, c = 2, 32, 300, 3
+    imgs = jnp.asarray(rng.rand(b, h, w, c), jnp.float32)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    grid = np.stack([xs, ys], -1)[None].repeat(b, 0)
+    tilt = np.stack([0.3 * np.sin(ys / 5.0), 1.5 * np.sin(xs / 60.0)], -1)
+    coords = jnp.asarray(grid + tilt[None]
+                         + rng.uniform(-0.3, 0.3, grid.shape), jnp.float32)
+
+    hp = wk._round_up(h, wk._SUB)
+    wp = wk._round_up(w, wk._LANE)
+    cxs = jnp.pad(coords[..., 0], ((0, 0), (0, 0), (0, wp - w)),
+                  mode="edge")
+    cys = jnp.pad(coords[..., 1], ((0, 0), (0, 0), (0, wp - w)),
+                  mode="edge")
+    meta = np.asarray(wk.tile_meta(cxs, cys, h, w, "edge_zero", hp, wp))
+    assert (meta[..., 0] == 2).any(), "coords must exercise band-K"
+
+    for mode, ref in _REF.items():
+        got = np.asarray(pallas_sampler(imgs, coords, mode))
+        want = np.asarray(ref(imgs, coords))
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=mode)
+
+        def loss_p(cc):
+            return jnp.sum(jnp.cos(pallas_sampler(imgs, cc, mode)))
+
+        def loss_r(cc):
+            return jnp.sum(jnp.cos(ref(imgs, cc)))
+
+        gp = np.asarray(jax.grad(loss_p)(coords))
+        gr = np.asarray(jax.grad(loss_r)(coords))
+        np.testing.assert_allclose(gp, gr, atol=1e-4, err_msg=mode)
+
+
 def test_tile_meta_mono_matches_block_oracle():
     """The monotone reduce_window tile_meta (default) is bit-identical to
     the original strided-reduce form across path regimes and both modes."""
@@ -201,6 +242,7 @@ def test_tile_meta_mono_matches_block_oracle():
     ys = np.broadcast_to(ys0, (b, ht, wt)).copy()
     xs[:2] += rng.uniform(-0.45, 0.45, (2, ht, wt))   # band paths
     ys[:2] += rng.uniform(-0.45, 0.45, (2, ht, wt))
+    ys[1] += 2.0 * np.sin(xs0 / 40.0)                 # spread 2-3: band-K
     xs[2:4] = rng.uniform(-30, w + 30, (2, ht, wt))   # slow path
     ys[2:4] = rng.uniform(-30, h + 30, (2, ht, wt))
     xs[4] -= 500.0                                    # fully out of range
@@ -217,6 +259,8 @@ def test_tile_meta_mono_matches_block_oracle():
             m_block = np.asarray(jax.jit(
                 lambda a, c: wk.tile_meta(a, c, h, w, mode, hp, wp))(xs, ys))
             np.testing.assert_array_equal(m_mono, m_block, err_msg=mode)
-            assert set(np.unique(m_mono[..., 0])) <= {0, 1, 2}
+            assert set(np.unique(m_mono[..., 0])) <= {0, 1, 2, 3}
+            # the sinusoidal-y image must exercise the band-K path
+            assert (m_mono[1, :, 0] == 2).any(), mode
     finally:
         wk._META_FORM = orig
