@@ -59,6 +59,9 @@ class GeoNetConfig:
     # DispNetS encoder levels whose stride-2 conv computes its data-grad
     # lane-packed (see models/dispnet._PackedDGradDownConv).
     dispnet_packed_dgrad_levels: tuple = ()
+    # DispNetS decoder up-conv indices evaluated in s2d (2x2-conv +
+    # depth-to-space) form (see models/dispnet._S2DUpConv2x).
+    dispnet_s2d_up_levels: tuple = ()
     # Disparity heads in s2d form (see models/dispnet.DispNetS.s2d_heads).
     dispnet_s2d_heads: bool = False
     # Disparity heads as tap-stacked matmul + shift-add (takes precedence

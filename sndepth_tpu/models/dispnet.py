@@ -556,24 +556,29 @@ class DispNetS(nn.Module):
 
         s2d_i = self.s2d_iconv_levels
 
-        u7 = _crop_like(_UpConv(dp[0], self.dtype)(c7), c6)
+        u7 = _crop_like(_UpConv(dp[0], self.dtype,
+                                0 in self.s2d_up_levels)(c7), c6)
         i7 = _IConv(dp[0], self.dtype,
                     0 in s2d_i)(jnp.concatenate([u7, c6], -1))
 
-        u6 = _crop_like(_UpConv(dp[1], self.dtype)(i7), c5)
+        u6 = _crop_like(_UpConv(dp[1], self.dtype,
+                                1 in self.s2d_up_levels)(i7), c5)
         i6 = _IConv(dp[1], self.dtype,
                     1 in s2d_i)(jnp.concatenate([u6, c5], -1))
 
-        u5 = _crop_like(_UpConv(dp[2], self.dtype)(i6), c4)
+        u5 = _crop_like(_UpConv(dp[2], self.dtype,
+                                2 in self.s2d_up_levels)(i6), c4)
         i5 = _IConv(dp[2], self.dtype,
                     2 in s2d_i)(jnp.concatenate([u5, c4], -1))
 
-        u4 = _crop_like(_UpConv(dp[3], self.dtype)(i5), c3)
+        u4 = _crop_like(_UpConv(dp[3], self.dtype,
+                                3 in self.s2d_up_levels)(i5), c3)
         i4 = _IConv(dp[3], self.dtype,
                     3 in s2d_i)(jnp.concatenate([u4, c3], -1))
         disp4 = disp_head(i4)
 
-        u3 = _crop_like(_UpConv(dp[4], self.dtype)(i4), c2)
+        u3 = _crop_like(_UpConv(dp[4], self.dtype,
+                                4 in self.s2d_up_levels)(i4), c2)
         d4_up = _crop_like(_upsample2x(disp4), c2).astype(self.dtype)
         i3 = _IConv(dp[4], self.dtype,
                     4 in s2d_i)(jnp.concatenate([u3, c2, d4_up], -1))

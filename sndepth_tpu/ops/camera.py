@@ -102,14 +102,23 @@ def pixel2cam(depth: Array, pixel_coords: Array, intrinsics: Array,
     depth: (B, H, W); pixel_coords: (B, 3, H, W); intrinsics: (B, 3, 3).
     Returns (B, 4(|3), H, W). Matches `utils_edited.py:216-239`.
     """
-    b, h, w = depth.shape
-    pix = pixel_coords.reshape(b, 3, h * w)
     k_inv = invert_intrinsics(intrinsics)
-    cam = (k_inv @ pix) * depth.reshape(b, 1, h * w)
+    # Broadcast-FMA form, not a (B,3,3) @ (B,3,HW) matmul: the pixel-dim
+    # matmul has a contraction of 3, which the MXU runs at ~2 TFLOPS and
+    # whose backward emits skinny (B,3,HW)x(B,HW,3) reduction dots —
+    # measured ~10 ms/step at batch 128 across the camera ops. As
+    # per-plane FMAs (same left-to-right add order as the matmul row
+    # sums) the whole chain is VPU work that fuses with its neighbours.
+    pc = [pixel_coords[:, j] for j in range(3)]
+    rows = []
+    for c in range(3):
+        acc = k_inv[:, c, 0][:, None, None] * pc[0]
+        acc = acc + k_inv[:, c, 1][:, None, None] * pc[1]
+        acc = acc + k_inv[:, c, 2][:, None, None] * pc[2]
+        rows.append(acc * depth)
     if homogeneous:
-        ones = jnp.ones((b, 1, h * w), depth.dtype)
-        cam = jnp.concatenate([cam, ones], axis=1)
-    return cam.reshape(b, -1, h, w)
+        rows.append(jnp.ones_like(rows[0]))
+    return jnp.stack(rows, axis=1)
 
 
 def invert_intrinsics(k: Array) -> Array:
@@ -131,13 +140,19 @@ def cam2pixel(cam_coords: Array, proj: Array) -> Array:
     cam_coords: (B, 4, H, W); proj: (B, 4, 4). Returns (B, H, W, 2).
     Matches `utils_edited.py:241-266` including the ``z + 1e-10`` guard.
     """
-    b, _, h, w = cam_coords.shape
-    cam = cam_coords.reshape(b, 4, h * w)
-    unnorm = proj @ cam
-    x_n = unnorm[:, 0] / (unnorm[:, 2] + 1e-10)
-    y_n = unnorm[:, 1] / (unnorm[:, 2] + 1e-10)
-    pix = jnp.stack([x_n, y_n], axis=-1)       # (B, H*W, 2)
-    return pix.reshape(b, h, w, 2)
+    # Broadcast-FMA form for the same reason as :func:`pixel2cam` (the
+    # contraction dim is 4; only rows 0-2 of the projection are needed).
+    cc = [cam_coords[:, j] for j in range(4)]
+    rows = []
+    for c in range(3):
+        acc = proj[:, c, 0][:, None, None] * cc[0]
+        acc = acc + proj[:, c, 1][:, None, None] * cc[1]
+        acc = acc + proj[:, c, 2][:, None, None] * cc[2]
+        acc = acc + proj[:, c, 3][:, None, None] * cc[3]
+        rows.append(acc)
+    x_n = rows[0] / (rows[2] + 1e-10)
+    y_n = rows[1] / (rows[2] + 1e-10)
+    return jnp.stack([x_n, y_n], axis=-1)
 
 
 def intrinsics_4x4(intrinsics: Array) -> Array:

@@ -49,6 +49,7 @@ def build_models(config: GeoNetConfig) -> tuple[DispNetS, PoseNet]:
                             config.dispnet_s2d_iconv_levels),
                         packed_dgrad_levels=tuple(
                             config.dispnet_packed_dgrad_levels),
+                        s2d_up_levels=tuple(config.dispnet_s2d_up_levels),
                         s2d_heads=config.dispnet_s2d_heads,
                         mat_heads=config.dispnet_mat_heads,
                         remat=config.dispnet_remat)
