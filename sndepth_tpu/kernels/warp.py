@@ -153,8 +153,13 @@ def tile_meta(xs: Array, ys: Array, h: int, w: int, mode: str,
     dependency chain: the scalar core streams ahead on ready SMEM values.
 
     Returns int32 (B, n_tiles, _NMETA) with fields
-    [path(0=band2|1=band3|2=bandK|3=slow), gb, cbase2, cbase3, ymin, ymax,
-     cmin, cmax] — exactly the values `_warp_tile` would compute.
+    [path(0=band2|1=band3|2=bandK|3=slow|4=band2-fast), gb, cbase2, cbase3,
+     ymin, ymax, cmin, cmax] — exactly the values `_warp_tile` would
+    compute. Path 4 is the specialization of band2 for per-sublane
+    y-spread 0 tiles whose live rows fit a 2-group (16-row) window: ~90%
+    of tiles under bench-like rigid flows, processed with 2 assembled
+    rows, a 2-group select and no m0b blend (~25% fewer vector ops); its
+    ``gb`` field holds the 16-row window base.
     """
     b, htp, wtp = xs.shape
     nr, nc = htp // _SUB, wtp // _LANE
@@ -175,6 +180,7 @@ def tile_meta(xs: Array, ys: Array, h: int, w: int, mode: str,
         cmax = x1t.max(axis=(2, 4)) // _LANE
         ybar = y0t.min(axis=4, keepdims=True)
         spread = (y0t - ybar).max(axis=(2, 4))
+        spread0 = spread <= 0
         spread_ok = spread <= 1
         spreadk_ok = spread <= _BK - 2
     else:
@@ -213,6 +219,7 @@ def tile_meta(xs: Array, ys: Array, h: int, w: int, mode: str,
                         h - 1.0).astype(jnp.int32)
         spread = (cf(y_rc_max, h - 1.0) - cf(y_rc_min, h - 1.0)
                   ).reshape(b, nr, _SUB, nc).max(2)
+        spread0 = spread <= 0
         spread_ok = spread <= 1
         spreadk_ok = spread <= _BK - 2
 
@@ -234,6 +241,12 @@ def tile_meta(xs: Array, ys: Array, h: int, w: int, mode: str,
                 & chunk3_ok)
     path = jnp.where(band2_ok, 0,
                      jnp.where(band3_ok, 1, jnp.where(bandk_ok, 2, 3)))
+    # band2-fast: spread-0 tiles whose live rows fit a 2-group window.
+    win2 = min(2, hp // _SUB) * _SUB
+    gb2 = jnp.clip((ymin // _SUB) * _SUB, 0, hp - win2)
+    fast2 = band2_ok & spread0 & ((ymax - gb2) < win2)
+    path = jnp.where(fast2, 4, path)
+    gb = jnp.where(fast2, gb2, gb)
     meta = jnp.stack([path, gb, cbase2, cbase3, ymin, ymax, cmin, cmax],
                      axis=-1)
     return meta.reshape(b, nr * nc, _NMETA).astype(jnp.int32)
@@ -372,7 +385,7 @@ def _warp_tile(x, y, img_ref, h, w, nch, mode, save_tangents, store,
         run_slow = path == 3
         slow_bounds = (ymin_m, ymax_m, cminv, cmaxv)
 
-    def _preload(cbase, ncw):
+    def _preload(cbase, ncw, ng=None):
         blocks = {}
         chunk_w = []
         for ci in range(ncw):
@@ -382,7 +395,7 @@ def _warp_tile(x, y, img_ref, h, w, nch, mode, save_tangents, store,
             in1 = (q1 == c).astype(jnp.float32)
             chunk_w.append((wx0 * in0, wx1 * in1,
                             dvx0 * in0, dvx1 * in1))
-            for g in range(ngrp):
+            for g in range(ngrp if ng is None else ng):
                 row0 = pl.multiple_of(gb + g * _SUB, _SUB)
                 for ch in range(nch):
                     blocks[ci, g, ch] = img_ref[
@@ -441,6 +454,54 @@ def _warp_tile(x, y, img_ref, h, w, nch, mode, save_tangents, store,
                     tys[ch] = tys[ch] + dvy1 * row1 - dvy0 * row0
         store(accs, txs, tys)
 
+    def _band_fast_path(cbase, ncw):
+        """band2 specialized for per-sublane y-spread 0 + 2-group window
+        (~90% of tiles under bench-like rigid flows; see tile_meta path 4).
+        With spread 0, d0 == 0 on every lane (no m0b blend: the y0 tap IS
+        row ybar) and d1 in {0, 1} (1 except where the h-1 clip collapsed
+        the pair), so only rows {ybar, ybar+1} are assembled, from a
+        16-row window whose live rows the path gate guarantees in-bounds
+        (garbage lanes of the ybar+1 table are discarded by the d1 mask).
+        """
+        ngrp2 = min(2, hp // _SUB)
+        blocks, chunk_w = _preload(cbase, ncw, ngrp2)
+        rels = [jnp.broadcast_to(ybar + k - gb, y0i.shape)
+                for k in range(2)]
+        subs = [rel % _SUB for rel in rels]
+        gsels = [rel // _SUB for rel in rels]
+        m1b = (d1 == 1).astype(jnp.float32)
+        accs = [zero] * nch
+        txs = [zero] * nch
+        tys = [zero] * nch
+        for ci in range(ncw):
+            wx0c, wx1c, dv0c, dv1c = chunk_w[ci]
+            for ch in range(nch):
+                rows = []
+                for k in range(2):
+                    u = jnp.take_along_axis(blocks[ci, 0, ch], subs[k],
+                                            axis=0)
+                    for g in range(1, ngrp2):
+                        u = jnp.where(
+                            gsels[k] == g,
+                            jnp.take_along_axis(blocks[ci, g, ch],
+                                                subs[k], axis=0), u)
+                    rows.append(u)
+                a0 = jnp.take_along_axis(rows[0], r0, axis=1)
+                a1 = jnp.take_along_axis(rows[0], r1, axis=1)
+                b0 = jnp.take_along_axis(rows[1], r0, axis=1)
+                b1 = jnp.take_along_axis(rows[1], r1, axis=1)
+                g10 = a0 + m1b * (b0 - a0)
+                g11 = a1 + m1b * (b1 - a1)
+                row0 = wx0c * a0 + wx1c * a1
+                row1 = wx0c * g10 + wx1c * g11
+                accs[ch] = accs[ch] + wy0 * row0 + wy1 * row1
+                if save_tangents:
+                    txs[ch] = (txs[ch]
+                               + wy0 * (dv1c * a1 - dv0c * a0)
+                               + wy1 * (dv1c * g11 - dv0c * g10))
+                    tys[ch] = tys[ch] + dvy1 * row1 - dvy0 * row0
+        store(accs, txs, tys)
+
     def _bandk_path(cbase, ncw):
         """Generalized row-band path: rows {ybar..ybar+_BK-1}, covering
         per-sublane y-spread <= _BK-2 (the 3-row bands handle spread<=1
@@ -486,6 +547,11 @@ def _warp_tile(x, y, img_ref, h, w, nch, mode, save_tangents, store,
                                                      - dv0c * t0g)
                         tys[ch] = tys[ch] + sk[k] * a_k
         store(accs, txs, tys)
+
+    if meta is not None:
+        @pl.when(path == 4)
+        def _band2_fast():
+            _band_fast_path(cbase2, cwin)
 
     @pl.when(band2_ok)
     def _band2():

@@ -186,6 +186,54 @@ def test_kernel_diagonal_fast_path_tall_image():
         np.testing.assert_allclose(gp, gr, atol=1e-4, err_msg=mode)
 
 
+def test_kernel_band2_fast_path_matches():
+    """Spread-0 smooth coords (lane-constant floor(y) per sublane, the
+    dominant bench regime) engage the band2-fast path (meta path 4): the
+    meta must classify most tiles as 4, and values + coordinate grads
+    must match both samplers — including tiles at the bottom edge where
+    the 16-row window base clips and the ybar+1 table reads masked
+    garbage."""
+    import sndepth_tpu.kernels.warp as wk
+
+    rng = np.random.RandomState(17)
+    b, h, w, c = 2, 32, 300, 3
+    imgs = jnp.asarray(rng.rand(b, h, w, c), jnp.float32)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    grid = np.stack([xs, ys], -1)[None].repeat(b, 0)
+    # Per-row-constant y offsets keep per-sublane y spread exactly 0;
+    # x jitter is free. Last rows push past h-1 to hit the clip collapse.
+    yoff = np.concatenate([0.3 * np.ones((h - 4, 1), np.float32),
+                           2.5 * np.ones((4, 1), np.float32)])
+    coords = jnp.asarray(
+        grid + np.stack([rng.uniform(-0.4, 0.4, (h, w)).astype(np.float32),
+                         np.broadcast_to(yoff, (h, w))], -1)[None],
+        jnp.float32)
+
+    hp = wk._round_up(h, wk._SUB)
+    wp = wk._round_up(w, wk._LANE)
+    cxs = jnp.pad(coords[..., 0], ((0, 0), (0, 0), (0, wp - w)),
+                  mode="edge")
+    cys = jnp.pad(coords[..., 1], ((0, 0), (0, 0), (0, wp - w)),
+                  mode="edge")
+    meta = np.asarray(wk.tile_meta(cxs, cys, h, w, "edge_zero", hp, wp))
+    assert (meta[..., 0] == 4).mean() > 0.5, "coords must exercise path 4"
+
+    for mode, ref in _REF.items():
+        got = np.asarray(pallas_sampler(imgs, coords, mode))
+        want = np.asarray(ref(imgs, coords))
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=mode)
+
+        def loss_p(cc):
+            return jnp.sum(jnp.cos(pallas_sampler(imgs, cc, mode)))
+
+        def loss_r(cc):
+            return jnp.sum(jnp.cos(ref(imgs, cc)))
+
+        gp = np.asarray(jax.grad(loss_p)(coords))
+        gr = np.asarray(jax.grad(loss_r)(coords))
+        np.testing.assert_allclose(gp, gr, atol=1e-4, err_msg=mode)
+
+
 def test_kernel_bandk_path_matches():
     """Per-sublane y-spread 2-3 (rigid flows with ~2 px of smooth fy
     variation within a 128-lane row segment) engages the band-K path —
@@ -259,7 +307,7 @@ def test_tile_meta_mono_matches_block_oracle():
             m_block = np.asarray(jax.jit(
                 lambda a, c: wk.tile_meta(a, c, h, w, mode, hp, wp))(xs, ys))
             np.testing.assert_array_equal(m_mono, m_block, err_msg=mode)
-            assert set(np.unique(m_mono[..., 0])) <= {0, 1, 2, 3}
+            assert set(np.unique(m_mono[..., 0])) <= {0, 1, 2, 3, 4}
             # the sinusoidal-y image must exercise the band-K path
             assert (m_mono[1, :, 0] == 2).any(), mode
     finally:
