@@ -49,11 +49,15 @@ def main(argv=None) -> None:
     p.add_argument("--max_batches", default=0, type=int)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--flow_source", default="rigid",
-                   choices=["rigid", "raft2d"],
+                   choices=["rigid", "raft2d", "raft2d_large"],
                    help="dense flow for motion fusion: pose-induced rigid "
-                        "flow, or the native RAFT2D (the reference uses "
-                        "hub RAFT-Large here)")
+                        "flow, the native RAFT2D, or the torchvision-"
+                        "raft_large-compatible RAFT2DLarge (the reference "
+                        "uses hub RAFT-Large here, `predict.py:8-9,24`)")
     p.add_argument("--raft2d_iters", default=12, type=int)
+    p.add_argument("--raft2d_ckpt", default=None,
+                   help="torchvision raft_large .pth for --flow_source "
+                        "raft2d_large (convert_raft2d_checkpoint)")
     args = p.parse_args(argv)
 
     from sndepth_tpu.core.config import GeoNetConfig
@@ -80,10 +84,19 @@ def main(argv=None) -> None:
     nnet = NNETStage(sample_shape=shape)
     motion = MotionStage(sample_shape=shape)
     raft2d = None
-    if args.flow_source == "raft2d":
+    if args.flow_source in ("raft2d", "raft2d_large"):
         from sndepth_tpu.pipelines import Raft2DFlowStage
-        raft2d = Raft2DFlowStage(iters=args.raft2d_iters,
-                                 sample_shape=shape)
+        variables = None
+        if args.raft2d_ckpt:
+            from sndepth_tpu.utils.convert_weights import (
+                convert_raft2d_checkpoint)
+            variables = jax.tree_util.tree_map(
+                jnp.asarray, convert_raft2d_checkpoint(args.raft2d_ckpt))
+        raft2d = Raft2DFlowStage(
+            variables=variables, iters=args.raft2d_iters,
+            sample_shape=shape,
+            arch="large" if args.flow_source == "raft2d_large" else
+            "native")
     if args.motion_ckpt:
         motion.state = ckpt_lib.restore_checkpoint(args.motion_ckpt,
                                                    motion.state)

@@ -66,6 +66,29 @@ def l1_bbox_cost(pred_boxes: Array, gt_boxes: Array) -> Array:
         jnp.abs(pred_boxes[:, None, :] - gt_boxes[None, :, :]), axis=-1)
 
 
+def dice_cost(pred_masks: Array, gt_masks: Array,
+              weight: float = 1.0) -> Array:
+    """(n1, H1, W1) predicted masks x (n2, H2, W2) GT masks -> (n1, n2)
+    soft-Dice matching cost (`match_cost.py:32-84` DiceCost): GT is
+    bilinearly resized to the prediction grid, then
+    ``1 - 2<p,g> / (|p|^2 + |g|^2 + 2e-3)``.
+
+    Flattened-inner-product form maps the pairwise numerator onto one MXU
+    matmul instead of the reference's broadcasted elementwise product."""
+    n1, h1, w1 = pred_masks.shape
+    n2, h2, w2 = gt_masks.shape
+    if (h1, w1) != (h2, w2):
+        # antialias=False matches torch F.interpolate(mode='bilinear')
+        gt_masks = jax.image.resize(gt_masks, (n2, h1, w1),
+                                    method="linear", antialias=False)
+    p = pred_masks.reshape(n1, -1)
+    g = gt_masks.reshape(n2, -1)
+    a = p @ g.T
+    b = jnp.sum(p * p, axis=-1)[:, None] + 1e-3
+    c = jnp.sum(g * g, axis=-1)[None, :] + 1e-3
+    return (1.0 - 2.0 * a / (b + c)) * weight
+
+
 def hungarian_match(cost: Array, valid_cols: Array) -> tuple[Array, Array]:
     """Linear-sum assignment over a fixed-size cost matrix.
 

@@ -39,13 +39,18 @@ def _gn(x, dtype):
 
 
 class ResnetBlock(nn.Module):
+    """DDPM res-block (`vae_model.py:80-140`); optional timestep embedding
+    is injected between the two convs as in the reference."""
     out_ch: int
     dtype: Any
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, temb: Array | None = None) -> Array:
         h = nn.swish(_gn(x, self.dtype))
         h = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype)(h)
+        if temb is not None:
+            h = h + nn.Dense(self.out_ch, dtype=self.dtype,
+                             name="temb_proj")(nn.swish(temb))[:, None, None]
         h = nn.swish(_gn(h, self.dtype))
         h = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype)(h)
         if x.shape[-1] != self.out_ch:
@@ -195,3 +200,147 @@ class AutoencoderKL(nn.Module):
 def get_autoencoder(dtype=jnp.bfloat16) -> AutoencoderKL:
     """The reference's RGBD config (`AutoencoderKL.py:151-177`)."""
     return AutoencoderKL(VAEConfig(), dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# DDPM-library variants carried by the reference but unused by its pipeline
+# (`/root/reference/submodules/vae/vae_model.py:208-744`). Provided for
+# inventory completeness; they share the blocks above.
+# ---------------------------------------------------------------------------
+
+
+def _upsample2x(h: Array) -> Array:
+    b, hh, ww, c = h.shape
+    return jax.image.resize(h, (b, 2 * hh, 2 * ww, c), method="nearest")
+
+
+class DDPMUNet(nn.Module):
+    """Timestep-conditioned UNet (`vae_model.py:208-368` ``Model``): skip
+    connections from every down block, optional sinusoid time embedding,
+    optional channel-concat context."""
+    ch: int = 64
+    out_ch: int = 3
+    ch_mult: Sequence[int] = (1, 2, 4, 8)
+    num_res_blocks: int = 2
+    attn_resolutions: Sequence[int] = ()
+    resolution: int = 64
+    use_timestep: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, t: Array | None = None,
+                 context: Array | None = None) -> Array:
+        from sndepth_tpu.models.denoiser import timestep_embedding
+
+        if context is not None:
+            x = jnp.concatenate([x, context], axis=-1)
+        temb = None
+        if self.use_timestep:
+            temb = timestep_embedding(t, self.ch)
+            temb = nn.Dense(4 * self.ch, dtype=self.dtype)(temb)
+            temb = nn.Dense(4 * self.ch, dtype=self.dtype)(nn.swish(temb))
+
+        curr_res = self.resolution
+        hs = [nn.Conv(self.ch, (3, 3), padding="SAME",
+                      dtype=self.dtype)(x.astype(self.dtype))]
+        for i, mult in enumerate(self.ch_mult):
+            for _ in range(self.num_res_blocks):
+                h = ResnetBlock(self.ch * mult, self.dtype)(hs[-1], temb)
+                if curr_res in self.attn_resolutions:
+                    h = AttnBlock(self.dtype)(h)
+                hs.append(h)
+            if i != len(self.ch_mult) - 1:
+                # reference Downsample: asymmetric (0,1) pad + stride-2 conv
+                d = jnp.pad(hs[-1], ((0, 0), (0, 1), (0, 1), (0, 0)))
+                hs.append(nn.Conv(d.shape[-1], (3, 3), strides=(2, 2),
+                                  padding="VALID", dtype=self.dtype)(d))
+                curr_res //= 2
+
+        h = hs[-1]
+        h = ResnetBlock(h.shape[-1], self.dtype)(h, temb)
+        h = AttnBlock(self.dtype)(h)
+        h = ResnetBlock(h.shape[-1], self.dtype)(h, temb)
+
+        for i, mult in reversed(list(enumerate(self.ch_mult))):
+            for _ in range(self.num_res_blocks + 1):
+                h = jnp.concatenate([h, hs.pop()], axis=-1)
+                h = ResnetBlock(self.ch * mult, self.dtype)(h, temb)
+                if curr_res in self.attn_resolutions:
+                    h = AttnBlock(self.dtype)(h)
+            if i != 0:
+                h = nn.Conv(h.shape[-1], (3, 3), padding="SAME",
+                            dtype=self.dtype)(_upsample2x(h))
+                curr_res *= 2
+
+        h = nn.swish(_gn(h, self.dtype))
+        return nn.Conv(self.out_ch, (3, 3), padding="SAME",
+                       dtype=jnp.float32)(h.astype(jnp.float32))
+
+
+class SimpleDecoder(nn.Module):
+    """1x1 -> 3 res-blocks (x2,x4,x2 widths) -> 1x1 -> 2x upsample conv
+    (`vae_model.py:600-640`)."""
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = x.shape[-1]
+        h = nn.Conv(c, (1, 1), dtype=self.dtype)(x.astype(self.dtype))
+        for mult in (2, 4, 2):
+            h = ResnetBlock(mult * c, self.dtype)(h)
+        h = nn.Conv(c, (1, 1), dtype=self.dtype)(h)
+        h = nn.Conv(c, (3, 3), padding="SAME", dtype=self.dtype)(
+            _upsample2x(h))
+        h = nn.swish(_gn(h, self.dtype))
+        return nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                       dtype=jnp.float32)(h.astype(jnp.float32))
+
+
+class UpsampleDecoder(nn.Module):
+    """Res-block tower with nearest-2x upsampling between levels
+    (`vae_model.py:642-694`)."""
+    out_channels: int
+    ch: int
+    num_res_blocks: int = 2
+    ch_mult: Sequence[int] = (2, 2)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h = x.astype(self.dtype)
+        for i, mult in enumerate(self.ch_mult):
+            for _ in range(self.num_res_blocks + 1):
+                h = ResnetBlock(self.ch * mult, self.dtype)(h)
+            if i != len(self.ch_mult) - 1:
+                h = nn.Conv(h.shape[-1], (3, 3), padding="SAME",
+                            dtype=self.dtype)(_upsample2x(h))
+        h = nn.swish(_gn(h, self.dtype))
+        return nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                       dtype=jnp.float32)(h.astype(jnp.float32))
+
+
+class LatentRescaler(nn.Module):
+    """Res blocks, factor-resize, attention, res blocks, 1x1 out
+    (`vae_model.py:696-744`)."""
+    factor: float
+    mid_channels: int
+    out_channels: int
+    depth: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h = nn.Conv(self.mid_channels, (3, 3), padding="SAME",
+                    dtype=self.dtype)(x.astype(self.dtype))
+        for _ in range(self.depth):
+            h = ResnetBlock(self.mid_channels, self.dtype)(h)
+        b, hh, ww, c = h.shape
+        h = jax.image.resize(
+            h, (b, int(round(hh * self.factor)), int(round(ww * self.factor)),
+                c), method="nearest")
+        h = AttnBlock(self.dtype)(h)
+        for _ in range(self.depth):
+            h = ResnetBlock(self.mid_channels, self.dtype)(h)
+        return nn.Conv(self.out_channels, (1, 1), dtype=jnp.float32)(
+            h.astype(jnp.float32))

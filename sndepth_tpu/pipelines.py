@@ -148,12 +148,17 @@ class RAFT3DStage:
 
 class Raft2DFlowStage:
     """Dense 2-D optical flow for the motion input (`predict.py:61`'s
-    torchvision RAFT-Large role), via the native RAFT2D."""
+    torchvision RAFT-Large role).
+
+    ``arch="large"`` is the torchvision-``raft_large``-compatible
+    :class:`~sndepth_tpu.models.raft2d.RAFT2DLarge` — pass ``variables``
+    from ``convert_raft2d_checkpoint`` to reproduce the reference's
+    pretrained flow; ``arch="native"`` is the lighter RAFT2D."""
 
     def __init__(self, variables=None, iters: int = 12,
-                 sample_shape=(1, 128, 416)):
-        from sndepth_tpu.models.raft2d import RAFT2D
-        self.model = RAFT2D()
+                 sample_shape=(1, 128, 416), arch: str = "native"):
+        from sndepth_tpu.models.raft2d import RAFT2D, RAFT2DLarge
+        self.model = RAFT2DLarge() if arch == "large" else RAFT2D()
         self.iters = iters
         b, h, w = sample_shape
         if variables is None:

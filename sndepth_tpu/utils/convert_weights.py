@@ -860,3 +860,104 @@ def convert_uniad_checkpoint(path: str, **kw) -> dict:
     ckpt = torch.load(path, map_location="cpu")
     sd = ckpt.get("state_dict", ckpt)
     return convert_uniad(sd, **kw)
+
+
+# ---------------------------------------------------------------------------
+# torchvision raft_large (`/root/reference/predict.py:8-9,24`)
+# ---------------------------------------------------------------------------
+
+def _tv_cna(sd: dict, prefix: str, norm: str | None
+            ) -> tuple[dict, dict | None]:
+    """torchvision Conv2dNormActivation -> (_TVConvNormAct params,
+    batch_stats-or-None). Conv bias exists only when norm is None;
+    InstanceNorm2d(affine=False) carries no parameters at all."""
+    p: dict = {"conv": {"kernel": _conv_w(sd[f"{prefix}.0.weight"])}}
+    stats = None
+    if norm is None:
+        p["conv"]["bias"] = np.asarray(sd[f"{prefix}.0.bias"])
+    elif norm == "batch":
+        p["norm"] = {"scale": np.asarray(sd[f"{prefix}.1.weight"]),
+                     "bias": np.asarray(sd[f"{prefix}.1.bias"])}
+        stats = {"norm": {"mean": np.asarray(sd[f"{prefix}.1.running_mean"]),
+                          "var": np.asarray(sd[f"{prefix}.1.running_var"])}}
+    return p, stats
+
+
+def _tv_encoder(sd: dict, t: str, norm: str | None) -> tuple[dict, dict]:
+    """torchvision FeatureEncoder subtree -> (params, batch_stats)."""
+    p: dict = {}
+    s: dict = {}
+
+    def put(flax_name, torch_prefix):
+        pp, ss = _tv_cna(sd, torch_prefix, norm)
+        p[flax_name] = pp
+        if ss:
+            s[flax_name] = ss
+
+    def put_block(flax_name, torch_prefix, has_down):
+        blk_p: dict = {}
+        blk_s: dict = {}
+        for sub in ("convnormrelu1", "convnormrelu2") + (
+                ("downsample",) if has_down else ()):
+            pp, ss = _tv_cna(sd, f"{torch_prefix}.{sub}", norm)
+            blk_p[sub] = pp
+            if ss:
+                blk_s[sub] = ss
+        p[flax_name] = blk_p
+        if blk_s:
+            s[flax_name] = blk_s
+
+    put("convnormrelu", f"{t}.convnormrelu")
+    for lvl, first_has_down in ((1, False), (2, True), (3, True)):
+        put_block(f"layer{lvl}_0", f"{t}.layer{lvl}.0", first_has_down)
+        put_block(f"layer{lvl}_1", f"{t}.layer{lvl}.1", False)
+    p["conv"] = {"kernel": _conv_w(sd[f"{t}.conv.weight"]),
+                 "bias": np.asarray(sd[f"{t}.conv.bias"])}
+    return p, s
+
+
+def convert_raft2d_large(sd: dict) -> dict:
+    """torchvision ``raft_large`` state_dict -> RAFT2DLarge variables
+    (dict with ``params`` and ``batch_stats``)."""
+    sd = _strip_module(sd)
+    fe_p, _ = _tv_encoder(sd, "feature_encoder", "instance")
+    ce_p, ce_s = _tv_encoder(sd, "context_encoder", "batch")
+
+    def cna(prefix):
+        return _tv_cna(sd, prefix, None)[0]
+
+    def conv_b(prefix):
+        return {"kernel": _conv_w(sd[f"{prefix}.weight"]),
+                "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+    upd = {
+        "motion_encoder": {
+            "convcorr1": cna("update_block.motion_encoder.convcorr1"),
+            "convcorr2": cna("update_block.motion_encoder.convcorr2"),
+            "convflow1": cna("update_block.motion_encoder.convflow1"),
+            "convflow2": cna("update_block.motion_encoder.convflow2"),
+            "conv": cna("update_block.motion_encoder.conv"),
+        },
+        "convgru1": {
+            k: conv_b(f"update_block.recurrent_block.convgru1.{k}")
+            for k in ("convz", "convr", "convq")},
+        "convgru2": {
+            k: conv_b(f"update_block.recurrent_block.convgru2.{k}")
+            for k in ("convz", "convr", "convq")},
+        "flow_head_1": {"conv": conv_b("update_block.flow_head.conv1")},
+        "flow_head_2": conv_b("update_block.flow_head.conv2"),
+        "mask_conv1": {"conv": cna("mask_predictor.convrelu")["conv"]},
+        "mask_conv2": conv_b("mask_predictor.conv"),
+    }
+    params = {"feature_encoder": fe_p, "context_encoder": ce_p,
+              "update": upd}
+    return {"params": params,
+            "batch_stats": {"context_encoder": ce_s}}
+
+
+def convert_raft2d_checkpoint(path: str) -> dict:
+    """Load a torchvision raft_large ``.pth`` and convert."""
+    import torch
+    ckpt = torch.load(path, map_location="cpu")
+    sd = ckpt.get("model", ckpt.get("state_dict", ckpt))
+    return convert_raft2d_large(sd)

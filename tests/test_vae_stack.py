@@ -199,3 +199,70 @@ def test_transformer_block_21_and_spatial_21():
         out = st.apply(vs, img, [ctx, None])
         assert out.shape == img.shape
         assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ddpm_unet_variants():
+    """DDPMUNet / SimpleDecoder / UpsampleDecoder / LatentRescaler
+    (`vae_model.py:208-744`) run, keep shape contracts, stay finite."""
+    from sndepth_tpu.models.vae import (DDPMUNet, LatentRescaler,
+                                        SimpleDecoder, UpsampleDecoder)
+
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 3),
+                    jnp.float32)
+    unet = DDPMUNet(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+                    attn_resolutions=(8,), resolution=16)
+    t = jnp.array([3, 7], jnp.int32)
+    params = unet.init(rng, x, t)
+    y = unet.apply(params, x, t)
+    assert y.shape == (2, 16, 16, 3) and np.isfinite(np.asarray(y)).all()
+    # context concat path + no-timestep path
+    unet2 = DDPMUNet(ch=32, out_ch=2, ch_mult=(1, 2), num_res_blocks=1,
+                     resolution=16, use_timestep=False)
+    p2 = unet2.init(rng, x, None, x[..., :1])
+    y2 = unet2.apply(p2, x, None, x[..., :1])
+    assert y2.shape == (2, 16, 16, 2)
+
+    z = jnp.tile(x[:, :8, :8, :], (1, 1, 1, 11))[..., :32]
+    sd = SimpleDecoder(out_channels=4)
+    ps = sd.init(rng, z)
+    ys = sd.apply(ps, z)
+    assert ys.shape == (2, 16, 16, 4)
+
+    ud = UpsampleDecoder(out_channels=3, ch=32, num_res_blocks=1,
+                         ch_mult=(2, 2))
+    pu = ud.init(rng, z)
+    yu = ud.apply(pu, z)
+    assert yu.shape == (2, 16, 16, 3)
+
+    lr = LatentRescaler(factor=1.5, mid_channels=32, out_channels=5,
+                        depth=1)
+    pl = lr.init(rng, z)
+    yl = lr.apply(pl, z)
+    assert yl.shape == (2, 12, 12, 5)
+
+
+def test_dice_cost_matches_reference_formula():
+    """dice_cost == the reference DiceCost math (`match_cost.py:32-84`),
+    including the bilinear resize of GT to the prediction grid."""
+    import torch
+    import torch.nn.functional as F
+
+    from sndepth_tpu.losses.track_loss import dice_cost
+
+    rs = np.random.RandomState(1)
+    pred = rs.rand(5, 8, 12).astype(np.float32)
+    gt = rs.rand(3, 16, 24).astype(np.float32)
+
+    tgt = F.interpolate(torch.from_numpy(gt).unsqueeze(0), size=(8, 12),
+                        mode="bilinear").squeeze(0)
+    p = torch.from_numpy(pred).reshape(5, -1)[:, None, :]
+    g = tgt.reshape(3, -1)[None, :, :]
+    a = torch.sum(p * g, -1)
+    b = torch.sum(p * p, -1) + 0.001
+    c = torch.sum(g * g, -1) + 0.001
+    want = (1 - (2 * a) / (b + c)) * 2.0
+
+    got = dice_cost(jnp.asarray(pred), jnp.asarray(gt), weight=2.0)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=2e-5,
+                               atol=2e-6)
