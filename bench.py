@@ -50,12 +50,40 @@ def _measure(config, batch_data, iters: int = 10) -> float:
     return config.batch_size * config.sequence_length * iters / dt
 
 
+def _measure_dp(config, batch_data, iters: int = 10) -> float:
+    """Mesh-sharded (data-parallel over all visible devices) variant:
+    ``bench.py --data_parallel``. On the single-chip axon slot this is a
+    1-device mesh (a plumbing no-op); on a real multi-chip slot it is the
+    one-liner that produces the scaled number."""
+    import time as _time
+
+    from sndepth_tpu.parallel import mesh as pmesh
+    from sndepth_tpu.train import geonet
+
+    mesh = pmesh.make_mesh()
+    state = pmesh.replicate_state(geonet.create_train_state(config), mesh)
+    data = pmesh.shard_batch(batch_data, mesh)
+    step = pmesh.make_parallel_train_step(config, mesh)
+    state, metrics = step(state, data)
+    _ = float(metrics["loss_total"])
+    state, metrics = step(state, data)
+    _ = float(metrics["loss_total"])
+    t0 = _time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, data)
+    final_loss = float(metrics["loss_total"])
+    dt = _time.perf_counter() - t0
+    assert np.isfinite(final_loss)
+    return config.batch_size * config.sequence_length * iters / dt
+
+
 def main() -> None:
     import sys
 
     import jax.numpy as jnp
     from sndepth_tpu.core.config import GeoNetConfig
 
+    data_parallel = "--data_parallel" in sys.argv
     batch = 128
     rng = np.random.RandomState(0)
     base = GeoNetConfig(batch_size=batch, compute_dtype=jnp.bfloat16)
@@ -78,11 +106,22 @@ def main() -> None:
     # off; bench measures the winner only.
     candidates = {"default": base}
     results = {}
+    measure = _measure_dp if data_parallel else _measure
     for name, cfg in candidates.items():
-        results[name] = _measure(cfg, batch_data)
+        results[name] = measure(cfg, batch_data)
         print(f"[bench] {name}: {results[name]:.1f} frames/sec",
               file=sys.stderr, flush=True)
     fps = max(results.values())
+    if data_parallel:
+        import jax
+        n = jax.device_count()
+        print(json.dumps({
+            "metric": "geonet_selfsup_train_throughput_128x416_dp",
+            "value": round(fps, 1),
+            "unit": f"frames/sec/{n}-device-mesh",
+            "vs_baseline": round(fps / n / NORTH_STAR_FPS, 3),
+        }))
+        return
     print(json.dumps({
         "metric": "geonet_selfsup_train_throughput_128x416",
         "value": round(fps, 1),

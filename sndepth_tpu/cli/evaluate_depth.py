@@ -36,7 +36,7 @@ def predict_disparities(ckpt_dir: str | None, image_paths: list[str],
                           compute_dtype=jnp.float32)
     state = geonet.create_train_state(config)
     if ckpt_dir:
-        state = ckpt_lib.restore_checkpoint(ckpt_dir, state)
+        state = ckpt_lib.restore_params_or_state(ckpt_dir, state)
         params = jax.tree_util.tree_map(jnp.asarray, state.params
                                         if hasattr(state, "params")
                                         else state["params"])

@@ -29,7 +29,7 @@ def main(argv=None) -> None:
     sample = ds[0]
     h, w = sample["image"].shape[:2]
     state = motion.init_motion_state(jax.random.PRNGKey(0), h, w)
-    state = ckpt_lib.restore_checkpoint(args.ckpt_dir, state)
+    state = ckpt_lib.restore_params_or_state(args.ckpt_dir, state)
     eval_fn = motion.make_eval_step()
 
     total, count = 0.0, 0

@@ -58,8 +58,31 @@ def main(argv=None) -> None:
                 self.variables = self.model.init(jax.random.PRNGKey(0),
                                                  sample)
                 if args.ckpt_dir:
-                    self.variables = {"params": ckpt_lib.restore_checkpoint(
-                        args.ckpt_dir, self.variables["params"])}
+                    # Converted nyu.pt layout ({"encoder": {...},
+                    # "decoder": {...}}, cli/convert_weights nnet) grafted
+                    # onto this module's variable tree.
+                    v = self.variables
+                    tpl = {
+                        "encoder": {
+                            "params":
+                                v["params"]["EfficientNetEncoder_0"],
+                            "batch_stats":
+                                v["batch_stats"]["EfficientNetEncoder_0"],
+                        },
+                        "decoder": {
+                            "params": v["params"]["NormalDecoder_0"]},
+                    }
+                    conv = ckpt_lib.restore_checkpoint(args.ckpt_dir, tpl)
+                    self.variables = {
+                        "params": {
+                            "EfficientNetEncoder_0":
+                                conv["encoder"]["params"],
+                            "NormalDecoder_0": conv["decoder"]["params"],
+                        },
+                        "batch_stats": {
+                            "EfficientNetEncoder_0":
+                                conv["encoder"]["batch_stats"]},
+                    }
                 else:
                     print("warning: no checkpoint; random weights")
                 self.run = jax.jit(

@@ -53,8 +53,12 @@ def main(argv=None) -> None:
     variables = model.init(jax.random.PRNGKey(0), dummy, dummy, dummy_d,
                            dummy_d, dummy_k, iters=1)
     if args.ckpt_dir:
-        variables = {"params": ckpt_lib.restore_checkpoint(
-            args.ckpt_dir, variables["params"])}
+        # Converted reference checkpoints (cli/convert_weights raft3d)
+        # carry {"params", "batch_stats"} — restore both; dropping the
+        # FPN BN running stats would silently change the context net.
+        variables = dict(ckpt_lib.restore_checkpoint(
+            args.ckpt_dir, {"params": variables["params"],
+                            "batch_stats": variables["batch_stats"]}))
 
     from sndepth_tpu.ops.projective import induced_flow
 

@@ -59,6 +59,10 @@ _C2 = 0.03 ** 2
 # the plane fits VMEM).
 _BACKEND = os.environ.get("SNDEPTH_PHOTO_BACKEND", "auto")
 
+# Portrait dispatch for lane-ragged widths: "auto" (default), "1"
+# (force), "0" (off). See _pair_run.
+_PORTRAIT = os.environ.get("SNDEPTH_PHOTO_PORTRAIT", "auto")
+
 # The default scoped-VMEM budget is 16MB; the pair kernel's resident set
 # (inputs+outputs double-buffered + 16 scratch planes) legitimately needs
 # more at batch-128 scale 0 (23.8MB measured). v5e VMEM is 128MB — raise
@@ -256,9 +260,8 @@ def _run(tgt, src, coords, alpha, mode, need_grad):
 
 
 def _pair_kernel(xf_ref, yf_ref, xb_ref, yb_ref, src_ref, tgt_ref,
-                 meta_ref, loss_ref, dxf_ref, dyf_ref, dxb_ref, dyb_ref,
-                 wbuf, txbuf, tybuf, pbuf, mxbuf, sxbuf, *, h, w, nch, ns,
-                 mode, alpha, need_grad):
+                 *rest, h, w, nch, ns, mode, alpha, need_grad,
+                 weighted=False):
     """One grid step = one BATCH image: both loss directions over all
     ``ns`` source views in a single VMEM pass.
 
@@ -269,7 +272,20 @@ def _pair_kernel(xf_ref, yf_ref, xb_ref, yb_ref, src_ref, tgt_ref,
     (`flat_tgt_tiled` materialized + transposed two full image stacks per
     scale), and (d) amortizes per-grid-step fixed work (mask iota, pbuf
     border zeroing) over 2*ns comparisons.
+
+    ``weighted`` adds a (1, 2*ns, htp, wtp) per-pixel cotangent-weight
+    ref (stage-2's stop-gradient consistency masks with the mean
+    normalizations folded in): every err/adjoint term is linear in the
+    mask, so the weight simply rides the cotangent mask — the warped
+    plane itself stays masked by the pure in-image mask.
     """
+    if weighted:
+        (wgt_ref, meta_ref, loss_ref, dxf_ref, dyf_ref, dxb_ref,
+         dyb_ref, wbuf, txbuf, tybuf, pbuf, mxbuf, sxbuf) = rest
+    else:
+        (meta_ref, loss_ref, dxf_ref, dyf_ref, dxb_ref, dyb_ref,
+         wbuf, txbuf, tybuf, pbuf, mxbuf, sxbuf) = rest
+        wgt_ref = None
     htp, wtp = xf_ref.shape[2], xf_ref.shape[3]
     ht, wt = h, w                       # pair form requires same-size maps
     ncol = wtp // _LANE
@@ -330,6 +346,7 @@ def _pair_kernel(xf_ref, yf_ref, xb_ref, yb_ref, src_ref, tgt_ref,
             if need_grad:
                 dx_acc = jnp.zeros((htp, wtp), jnp.float32)
                 dy_acc = jnp.zeros((htp, wtp), jnp.float32)
+            cot_mask = mask if wgt_ref is None else mask * wgt_ref[0, mi]
             for ch in range(nch):
                 if d == 0:
                     x = tgt_ref[0, ch]
@@ -340,8 +357,9 @@ def _pair_kernel(xf_ref, yf_ref, xb_ref, yb_ref, src_ref, tgt_ref,
                     mu_x = _pool3(pbuf, x, htp, wtp)
                     sigma_x = _pool3(pbuf, x * x, htp, wtp) - mu_x * mu_x
                 y = wbuf[ch] * mask
-                err, dw = _photo_channel(pbuf, x, y, mu_x, sigma_x, mask,
-                                         htp, wtp, alpha, need_grad)
+                err, dw = _photo_channel(pbuf, x, y, mu_x, sigma_x,
+                                         cot_mask, htp, wtp, alpha,
+                                         need_grad)
                 loss_part = loss_part + err.reshape(
                     htp // _SUB, _SUB, wtp // _LANE, _LANE).sum(axis=(0, 2))
                 if need_grad:
@@ -366,8 +384,37 @@ def _pair_prep(img: Array, htp: int, wtp: int) -> Array:
     return jnp.pad(planes, pad)
 
 
-def _pair_run(tgt, srcs, coords_f, coords_b, alpha, mode, need_grad):
+def _pair_run(tgt, srcs, coords_f, coords_b, alpha, mode, need_grad,
+              weights=None, _allow_portrait=True):
     b, ns, ht, wt, nch = srcs.shape
+
+    # Portrait orientation: the kernel is symmetric under (transpose
+    # planes, swap the coord channels, swap h/w) — the loss is the same
+    # scalar and the grad planes come back transposed with dx/dy swapped.
+    # When the image WIDTH is lane-ragged but the HEIGHT is an exact lane
+    # multiple (KITTI scale 0: 128x416 -> padded 128x512 landscape, but
+    # 416x128 portrait pads NOTHING), transposing removes the 23% padded-
+    # lane waste from every plane op AND collapses the x-tap window to a
+    # single lane chunk (src height 128 = one chunk), so every warp tile
+    # preloads 1 chunk instead of 2-3.
+    portrait = _allow_portrait and (
+        _PORTRAIT == "1" or
+        (_PORTRAIT == "auto" and wt % _LANE != 0
+         and ht % _LANE == 0 and wt % _SUB == 0))
+    if portrait:
+        swap = lambda img: jnp.swapaxes(img, -3, -2)
+        loss, d_cf, d_cb = _pair_run(
+            swap(tgt), swap(srcs),
+            jnp.swapaxes(coords_f[..., ::-1], -3, -2),
+            jnp.swapaxes(coords_b[..., ::-1], -3, -2),
+            alpha, mode, need_grad,
+            None if weights is None else jnp.swapaxes(weights, -2, -1),
+            _allow_portrait=False)
+        if not need_grad:
+            return loss, None, None
+        return (loss, jnp.swapaxes(d_cf, -3, -2)[..., ::-1],
+                jnp.swapaxes(d_cb, -3, -2)[..., ::-1])
+
     h, w = ht, wt
     htp = _round_up(ht, _SUB)
     wtp = _round_up(wt, _LANE)
@@ -391,21 +438,33 @@ def _pair_run(tgt, srcs, coords_f, coords_b, alpha, mode, need_grad):
     cspec = pl.BlockSpec((1, ns, htp, wtp), lambda bi: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM)
     gspec = cspec
+    inputs = [xs_f, ys_f, xs_b, ys_b, src_p, tgt_p]
+    in_specs = [cspec, cspec, cspec, cspec,
+                pl.BlockSpec((1, ns, nch, htp, wtp),
+                             lambda bi: (bi, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nch, htp, wtp),
+                             lambda bi: (bi, 0, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    if weights is not None:
+        # (B, 2*ns, ht, wt) per-pixel cotangent weights, zero-padded.
+        wpad = jnp.pad(weights.astype(jnp.float32),
+                       ((0, 0), (0, 0), (0, htp - ht), (0, wtp - wt)))
+        inputs.append(wpad)
+        in_specs.append(pl.BlockSpec((1, 2 * ns, htp, wtp),
+                                     lambda bi: (bi, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    inputs.append(meta)
+    in_specs.append(pl.BlockSpec((1, 2 * ns, ntile, _NMETA),
+                                 lambda bi: (bi, 0, 0, 0),
+                                 memory_space=pltpu.SMEM))
     outs = pl.pallas_call(
         functools.partial(_pair_kernel, h=h, w=w, nch=nch, ns=ns,
                           mode=mode, alpha=float(alpha),
-                          need_grad=need_grad),
+                          need_grad=need_grad,
+                          weighted=weights is not None),
         grid=(b,),
-        in_specs=[cspec, cspec, cspec, cspec,
-                  pl.BlockSpec((1, ns, nch, htp, wtp),
-                               lambda bi: (bi, 0, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, nch, htp, wtp),
-                               lambda bi: (bi, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 2 * ns, ntile, _NMETA),
-                               lambda bi: (bi, 0, 0, 0),
-                               memory_space=pltpu.SMEM)],
+        in_specs=in_specs,
         out_specs=(pl.BlockSpec((1, _SUB, _LANE), lambda bi: (bi, 0, 0),
                                 memory_space=pltpu.VMEM),
                    gspec, gspec, gspec, gspec),
@@ -419,7 +478,7 @@ def _pair_run(tgt, srcs, coords_f, coords_b, alpha, mode, need_grad):
                         pltpu.VMEM((nch, htp, wtp), jnp.float32)],
         compiler_params=_VMEM_PARAMS,
         interpret=_interpret(),
-    )(xs_f, ys_f, xs_b, ys_b, src_p, tgt_p, meta)
+    )(*inputs)
     loss_part, dxf, dyf, dxb, dyb = outs
     loss = jnp.sum(loss_part)
     if not need_grad:
@@ -463,6 +522,43 @@ def _pair_bwd(alpha, mode, res, g):
 
 
 warp_photo_pair_loss.defvjp(_pair_fwd, _pair_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def warp_photo_pair_loss_weighted(tgt: Array, srcs: Array,
+                                  coords_f: Array, coords_b: Array,
+                                  wf: Array, wb: Array, alpha: float,
+                                  mode: str = "edge_zero") -> Array:
+    """Per-pixel-weighted :func:`warp_photo_pair_loss`:
+
+        sum_s,p [ wf[s,p] * err(tgt,     warp(srcs[s], cf[s]))[p]
+                + wb[s,p] * err(srcs[s], warp(tgt,     cb[s]))[p] ]
+
+    with err summed over channels at each pixel. ``wf``/``wb`` are
+    (B, ns, H, W) weight planes — stage-2 GeoNet's stop-gradient
+    consistency masks with the mean normalizations folded in
+    (`/root/reference/models/baseline.py:1061-1135`). Gradients flow to
+    the coords only; the weights are treated as constants (they are
+    stop-gradient masks at every call site)."""
+    weights = jnp.concatenate([wf, wb], axis=1)
+    return _pair_run(tgt, srcs, coords_f, coords_b, alpha, mode,
+                     need_grad=False, weights=weights)[0]
+
+
+def _pair_w_fwd(tgt, srcs, coords_f, coords_b, wf, wb, alpha, mode):
+    weights = jnp.concatenate([wf, wb], axis=1)
+    loss, d_cf, d_cb = _pair_run(tgt, srcs, coords_f, coords_b, alpha,
+                                 mode, need_grad=True, weights=weights)
+    return loss, (d_cf, d_cb, tgt, srcs, wf, wb)
+
+
+def _pair_w_bwd(alpha, mode, res, g):
+    d_cf, d_cb, tgt, srcs, wf, wb = res
+    return (jnp.zeros_like(tgt), jnp.zeros_like(srcs),
+            g * d_cf, g * d_cb, jnp.zeros_like(wf), jnp.zeros_like(wb))
+
+
+warp_photo_pair_loss_weighted.defvjp(_pair_w_fwd, _pair_w_bwd)
 
 
 def pair_ok(tgt: Array, ns: int) -> bool:

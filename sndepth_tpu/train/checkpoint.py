@@ -95,6 +95,50 @@ def restore_checkpoint(ckpt_dir: str, target: Any, step: int | None = None
     return ckptr.restore(path, template)
 
 
+def restore_params_or_state(ckpt_dir: str, state: Any,
+                            step: int | None = None) -> Any:
+    """Restore either a full saved train state OR a converted params-only
+    checkpoint (what ``cli/convert_weights`` writes) into ``state``.
+
+    Converted reference checkpoints carry no optimizer/step/rng, so a
+    straight :func:`restore_checkpoint` against a train-state template
+    fails on structure mismatch; this falls back to restoring against
+    ``state.params`` (or ``state["params"]``) and grafting the result
+    onto the template's params. Eval/predict CLIs use this so the SAME
+    ``--ckpt_dir`` flag accepts both our training output and a converted
+    reference ``.pth``."""
+    try:
+        return restore_checkpoint(ckpt_dir, state, step)
+    except Exception:
+        pass
+
+    is_obj = hasattr(state, "params")
+    params_tpl = state.params if is_obj else state["params"]
+    bs_tpl = (getattr(state, "batch_stats", None) if is_obj
+              else state.get("batch_stats"))
+
+    def graft(params, batch_stats=None):
+        kw = {"params": params}
+        if batch_stats is not None:
+            kw["batch_stats"] = batch_stats
+        if hasattr(state, "replace"):
+            return state.replace(**kw)
+        out = dict(state)
+        out.update(kw)
+        return out
+
+    if bs_tpl is not None:
+        try:
+            both = restore_checkpoint(
+                ckpt_dir, {"params": params_tpl, "batch_stats": bs_tpl},
+                step)
+            return graft(both["params"], both["batch_stats"])
+        except Exception:
+            pass
+    params = restore_checkpoint(ckpt_dir, params_tpl, step)
+    return graft(params)
+
+
 def _prune(ckpt_dir: str, keep: int) -> None:
     steps = sorted(int(d) for d in os.listdir(ckpt_dir) if d.isdigit())
     for s in steps[:-keep]:

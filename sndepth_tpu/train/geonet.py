@@ -194,10 +194,12 @@ def geonet_loss(params: dict, batch: dict, config: GeoNetConfig
         # one VMEM pass per image per direction replaces the warped /
         # tangent / error-map / adjoint HBM round-trips of the split ops
         # (kernels/photo_loss.py; both paths are tested equal). Stage 2
-        # (train_flow) needs the warped images and error maps as FlowNet
-        # inputs, so it keeps the split ops.
-        if not cfg.train_flow and (photo_loss.pair_ok(v_s[:, 0], ns)
-                                   or photo_loss.fused_ok(tgt_s)):
+        # (train_flow) needs the scale-0 warped image and error map as
+        # FlowNet inputs, so scale 0 keeps the split ops; scales >= 1
+        # feed nothing downstream and take the kernel too.
+        if (not cfg.train_flow or s > 0) and (
+                photo_loss.pair_ok(v_s[:, 0], ns)
+                or photo_loss.fused_ok(tgt_s)):
             hs, ws = tgt_s.shape[1], tgt_s.shape[2]
             gx = jnp.arange(ws, dtype=jnp.float32)
             gy = jnp.arange(hs, dtype=jnp.float32)
@@ -297,11 +299,6 @@ def _full_flow_losses(params, cfg, tgt_tile_pyr, src_pyr, fwd_rigid,
         fwd_full = r_s[:, 0] + fwd_rigid[s]
         bwd_full = r_s[:, 1] + bwd_rigid[s]
 
-        fwd_warp = flow_warp(src_pyr[s], fwd_full)
-        bwd_warp = flow_warp(tgt_tile_pyr[s], bwd_full)
-        fwd_err = img_sim(cfg.simi_alpha, tgt_tile_pyr[s], fwd_warp)
-        bwd_err = img_sim(cfg.simi_alpha, src_pyr[s], bwd_warp)
-
         # fwd/bwd consistency masks (`baseline.py:1063-1113`).
         bwd2fwd = flow_warp(bwd_full, fwd_full)
         fwd2bwd = flow_warp(fwd_full, bwd_full)
@@ -319,11 +316,42 @@ def _full_flow_losses(params, cfg, tgt_tile_pyr, src_pyr, fwd_rigid,
         bwd_mask = jnp.mean(bwd_mask, axis=-1, keepdims=True)
 
         ns = cfg.num_source
-        loss_warp += cfg.loss_weight_full_warp * ns / 2.0 * (
-            jnp.mean(jnp.mean(fwd_err, -1, keepdims=True) * fwd_mask) /
-            jnp.maximum(jnp.mean(fwd_mask), 1e-6) +
-            jnp.mean(jnp.mean(bwd_err, -1, keepdims=True) * bwd_mask) /
-            jnp.maximum(jnp.mean(bwd_mask), 1e-6))
+        hs, ws = tgt_tile_pyr[s].shape[1], tgt_tile_pyr[s].shape[2]
+        if photo_loss.pair_ok(tgt_tile_pyr[s], 1):
+            # The masked/normalized full-flow photometric pair collapses
+            # into the weighted fused kernel: the masks are stop-gradient
+            # and every loss term is linear in them, so the per-pixel
+            # weight (mask x folded mean-normalizations) rides the
+            # kernel's cotangent mask. Replaces the warped-image /
+            # DSSIM-map / adjoint HBM round-trips that dominated the
+            # stage-2 trace (BASELINE.md: 69 ms elementwise tail).
+            gx = jnp.arange(ws, dtype=jnp.float32)
+            gy = jnp.arange(hs, dtype=jnp.float32)
+            grid = jnp.stack(
+                [jnp.broadcast_to(gx[None, :], (hs, ws)),
+                 jnp.broadcast_to(gy[:, None], (hs, ws))], axis=-1)[None]
+            nelem = 3.0 * float(np.prod(fwd_mask.shape))
+            wf = jax.lax.stop_gradient(
+                fwd_mask[..., 0] /
+                (jnp.maximum(jnp.mean(fwd_mask), 1e-6) * nelem))
+            wb = jax.lax.stop_gradient(
+                bwd_mask[..., 0] /
+                (jnp.maximum(jnp.mean(bwd_mask), 1e-6) * nelem))
+            pair_sum = photo_loss.warp_photo_pair_loss_weighted(
+                tgt_tile_pyr[s], src_pyr[s][:, None],
+                (grid + fwd_full)[:, None], (grid + bwd_full)[:, None],
+                wf[:, None], wb[:, None], cfg.simi_alpha)
+            loss_warp += cfg.loss_weight_full_warp * ns / 2.0 * pair_sum
+        else:
+            fwd_warp = flow_warp(src_pyr[s], fwd_full)
+            bwd_warp = flow_warp(tgt_tile_pyr[s], bwd_full)
+            fwd_err = img_sim(cfg.simi_alpha, tgt_tile_pyr[s], fwd_warp)
+            bwd_err = img_sim(cfg.simi_alpha, src_pyr[s], bwd_warp)
+            loss_warp += cfg.loss_weight_full_warp * ns / 2.0 * (
+                jnp.mean(jnp.mean(fwd_err, -1, keepdims=True) * fwd_mask)
+                / jnp.maximum(jnp.mean(fwd_mask), 1e-6) +
+                jnp.mean(jnp.mean(bwd_err, -1, keepdims=True) * bwd_mask)
+                / jnp.maximum(jnp.mean(bwd_mask), 1e-6))
 
         loss_smooth += cfg.loss_weight_full_smooth / 2 ** (s + 1) * (
             flow_smooth_loss(fwd_full, tgt_tile_pyr[s]) +

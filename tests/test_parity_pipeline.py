@@ -1,0 +1,492 @@
+"""End-to-end convert -> eval plumbing for every checkpoint family.
+
+VERDICT r2 #4: real-data metric parity is blocked on data/checkpoints that
+are absent from this image, but the *plumbing* — fabricate a reference-
+layout torch ``.pth``, run ``cli/convert_weights``, feed the converted
+directory to the matching eval/predict CLI over a procedurally generated
+mini-dataset, get a finite metric table — is fully provable here. With
+these green, real parity is one data drop away (commands in
+``docs/PARITY.md``). Reference anchor points:
+`/root/reference/models/test_disp.py:41-148` (depth),
+`/root/reference/utils/utils_coders.py:73-84` (normals),
+`/root/reference/evaluate.py:12-22` (motion mIoU),
+`/root/reference/kitti_submission.py:173-230` (RAFT3D submission).
+"""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from sndepth_tpu.cli import convert_weights as convert_cli
+
+
+def _write_png(path, arr):
+    from PIL import Image
+    Image.fromarray(arr.astype(np.uint8)).save(path)
+
+
+@pytest.mark.slow
+def test_geonet_convert_then_evaluate_depth(tmp_path, capsys):
+    """rigid_depth/pose .pth -> convert CLI -> evaluate_depth --ckpt_dir."""
+    from test_convert_weights import TorchDispNetS, TorchPoseNet
+
+    from sndepth_tpu.cli import evaluate_depth
+
+    torch.manual_seed(0)
+    depth_pth = tmp_path / "rigid_depth_1.pth"
+    pose_pth = tmp_path / "rigid_pose_1.pth"
+    torch.save(TorchDispNetS().state_dict(), depth_pth)
+    torch.save(TorchPoseNet().state_dict(), pose_pth)
+
+    conv_dir = tmp_path / "converted_geonet"
+    convert_cli.main(["geonet", "--depth", str(depth_pth),
+                      "--pose", str(pose_pth), "--out", str(conv_dir)])
+
+    rng = np.random.RandomState(0)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    paths = []
+    for i in range(2):
+        p = img_dir / f"{i:06d}.png"
+        _write_png(p, rng.randint(0, 255, (96, 160, 3)))
+        paths.append(str(p))
+    img_list = tmp_path / "list.txt"
+    img_list.write_text("\n".join(paths) + "\n")
+    gt = 1.0 + 60.0 * rng.rand(2, 96, 160).astype(np.float32)
+    np.savez(tmp_path / "gt.npz", gt_depths=gt)
+
+    evaluate_depth.main([
+        "--gt_file", str(tmp_path / "gt.npz"), "--img_list", str(img_list),
+        "--img_height", "64", "--img_width", "96",
+        "--ckpt_dir", str(conv_dir),
+    ])
+    out = capsys.readouterr().out
+    assert "no checkpoint" not in out
+    vals = [float(v) for v in
+            [l for l in out.strip().splitlines() if l.strip()][-1].split(",")]
+    assert len(vals) == 9 and all(np.isfinite(v) for v in vals)
+
+
+@pytest.mark.slow
+def test_motion_convert_then_evaluate_motion(tmp_path, capsys):
+    """best.pt -> convert CLI -> evaluate_motion --ckpt_dir -> mIoU."""
+    from test_convert_more import TorchMotionFusionNet
+
+    from sndepth_tpu.cli import evaluate_motion
+
+    torch.manual_seed(0)
+    pth = tmp_path / "best.pt"
+    torch.save(TorchMotionFusionNet().state_dict(), pth)
+    conv_dir = tmp_path / "converted_motion"
+    convert_cli.main(["motion", "--ckpt", str(pth),
+                      "--out", str(conv_dir)])
+
+    # KITTIMotion-style val tree ({root}/val/{image,flow,label}/*.png).
+    rng = np.random.RandomState(0)
+    root = tmp_path / "motion_data"
+    for sub in ("image", "flow", "label"):
+        (root / "val" / sub).mkdir(parents=True)
+    for i in range(2):
+        _write_png(root / "val" / "image" / f"{i:06d}_10.png",
+                   rng.randint(0, 255, (64, 96, 3)))
+        _write_png(root / "val" / "flow" / f"{i:06d}_10.png",
+                   rng.randint(0, 255, (64, 96, 3)))
+        lbl = np.zeros((64, 96, 3), np.uint8)
+        lbl[..., 0] = rng.randint(0, 3, (64, 96)) * 100   # class in red
+        _write_png(root / "val" / "label" / f"{i:06d}_10.png", lbl)
+
+    evaluate_motion.main([
+        "--data_dir", str(root), "--ckpt_dir", str(conv_dir),
+        "--batch_size", "1",
+    ])
+    out = capsys.readouterr().out
+    line = [l for l in out.strip().splitlines() if "miou" in l.lower()]
+    assert line, out
+    assert np.isfinite(float(line[-1].rsplit(":", 1)[-1]))
+
+
+def _rand_like(g, shape, positive=False):
+    t = torch.rand(shape, generator=g) if positive else \
+        0.1 * torch.randn(shape, generator=g)
+    return t + 0.5 if positive else t
+
+
+def _fake_nyu_state_dict():
+    """Fabricate a full-size reference ``nyu.pt`` state dict (timm
+    tf_efficientnet_b5_ap encoder + GN decoder keys) by inverting the
+    converter's layout mapping against the flax models' init shapes."""
+    from sndepth_tpu.models.efficientnet import EfficientNetEncoder
+    from sndepth_tpu.models.normal_decoder import NormalDecoder
+
+    enc = EfficientNetEncoder()
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 64, 96, 3))
+    enc_vars = jax.eval_shape(enc.init, rng, x)
+    feats = jax.eval_shape(
+        lambda v, x: enc.apply(v, x), enc_vars, x)
+    dec = NormalDecoder()
+    dec_vars = jax.eval_shape(
+        lambda f: dec.init(rng, f, mode="test"), feats)
+
+    g = torch.Generator().manual_seed(0)
+    sd = {}
+
+    def conv_w(shape_def):           # flax (kh,kw,ci,co) -> torch
+        kh, kw, ci, co = shape_def.shape
+        return _rand_like(g, (co, ci, kh, kw))
+
+    def dw_w(shape_def):             # flax (kh,kw,1,ch) -> torch (ch,1,..)
+        kh, kw, one, ch = shape_def.shape
+        return _rand_like(g, (ch, one, kh, kw))
+
+    def put_bn(prefix, p, s):
+        sd[prefix + ".weight"] = _rand_like(g, p["scale"].shape)
+        sd[prefix + ".bias"] = _rand_like(g, p["bias"].shape)
+        sd[prefix + ".running_mean"] = _rand_like(g, s["mean"].shape)
+        sd[prefix + ".running_var"] = _rand_like(g, s["var"].shape,
+                                                 positive=True)
+
+    def put_conv(prefix, p, bias=True):
+        sd[prefix + ".weight"] = conv_w(p["kernel"])
+        if bias:
+            sd[prefix + ".bias"] = _rand_like(g, p["bias"].shape)
+
+    E = "encoder.original_model."
+    ep, es = enc_vars["params"], enc_vars["batch_stats"]
+    sd[E + "conv_stem.weight"] = conv_w(ep["Conv_0"]["kernel"])
+    put_bn(E + "bn1", ep["BatchNorm_0"], es["BatchNorm_0"])
+    from sndepth_tpu.models.efficientnet import b5_blocks
+    for si, spec in enumerate(b5_blocks()):
+        for ri in range(spec.repeats):
+            t = E + f"blocks.{si}.{ri}"
+            p = ep[f"stage{si}_block{ri}"]
+            s = es[f"stage{si}_block{ri}"]
+            se = p["SqueezeExcite_0"]
+            put_conv(t + ".se.conv_reduce", se["Conv_0"])
+            put_conv(t + ".se.conv_expand", se["Conv_1"])
+            if spec.expand == 1:
+                sd[t + ".conv_dw.weight"] = dw_w(p["Conv_0"]["kernel"])
+                put_bn(t + ".bn1", p["BatchNorm_0"], s["BatchNorm_0"])
+                sd[t + ".conv_pw.weight"] = conv_w(p["Conv_1"]["kernel"])
+                put_bn(t + ".bn2", p["BatchNorm_1"], s["BatchNorm_1"])
+            else:
+                sd[t + ".conv_pw.weight"] = conv_w(p["Conv_0"]["kernel"])
+                put_bn(t + ".bn1", p["BatchNorm_0"], s["BatchNorm_0"])
+                sd[t + ".conv_dw.weight"] = dw_w(p["Conv_1"]["kernel"])
+                put_bn(t + ".bn2", p["BatchNorm_1"], s["BatchNorm_1"])
+                sd[t + ".conv_pwl.weight"] = conv_w(p["Conv_2"]["kernel"])
+                put_bn(t + ".bn3", p["BatchNorm_2"], s["BatchNorm_2"])
+    sd[E + "conv_head.weight"] = conv_w(ep["Conv_1"]["kernel"])
+    put_bn(E + "bn2", ep["BatchNorm_1"], es["BatchNorm_1"])
+
+    D = "decoder."
+    dp = dec_vars["params"]
+    put_conv(D + "conv2", dp["Conv_0"])
+    for bi in range(4):
+        p = dp[f"UpSampleBlock_{bi}"]
+        t = D + f"up{bi + 1}._net"
+        put_conv(t + ".0", p["WSConv_0"])
+        sd[t + ".1.weight"] = _rand_like(g, p["GroupNorm_0"]["scale"].shape)
+        sd[t + ".1.bias"] = _rand_like(g, p["GroupNorm_0"]["bias"].shape)
+        put_conv(t + ".3", p["WSConv_1"])
+        sd[t + ".4.weight"] = _rand_like(g, p["GroupNorm_1"]["scale"].shape)
+        sd[t + ".4.bias"] = _rand_like(g, p["GroupNorm_1"]["bias"].shape)
+    put_conv(D + "out_conv_res8", dp["Conv_1"])
+    for r in (4, 2, 1):
+        for j, i in enumerate((0, 2, 4, 6)):
+            dl = dp[f"out_conv_res{r}"][f"Dense_{j}"]
+            cin, cout = dl["kernel"].shape
+            sd[f"{D}out_conv_res{r}.{i}.weight"] = _rand_like(
+                g, (cout, cin, 1))
+            sd[f"{D}out_conv_res{r}.{i}.bias"] = _rand_like(g, (cout,))
+    return sd
+
+
+@pytest.mark.slow
+def test_nnet_convert_then_evaluate_normals(tmp_path, capsys):
+    """Fabricated full nyu.pt -> convert CLI -> evaluate_normals
+    --ckpt_dir -> finite angular metric table."""
+    from sndepth_tpu.cli import evaluate_normals
+
+    pth = tmp_path / "nyu.pt"
+    torch.save(_fake_nyu_state_dict(), pth)
+    conv_dir = tmp_path / "converted_nnet"
+    convert_cli.main(["nnet", "--ckpt", str(pth), "--out", str(conv_dir)])
+
+    rng = np.random.RandomState(1)
+    split = tmp_path / "nyu" / "test"
+    split.mkdir(parents=True)
+    for i in range(2):
+        _write_png(split / f"{i:04d}_rgb.png",
+                   rng.randint(0, 255, (64, 96, 3)))
+        n = rng.randn(64, 96, 3).astype(np.float32)
+        n /= np.linalg.norm(n, axis=-1, keepdims=True)
+        _write_png(split / f"{i:04d}_norm.png",
+                   np.round((n + 1.0) / 2.0 * 255.0))
+        _write_png(split / f"{i:04d}_mask.png",
+                   (rng.rand(64, 96) > 0.2) * 255)
+
+    evaluate_normals.main([
+        "--data_dir", str(tmp_path / "nyu"), "--split", "test",
+        "--img_height", "64", "--img_width", "96",
+        "--ckpt_dir", str(conv_dir),
+        "--log_file", str(tmp_path / "log.txt"),
+    ])
+    out = capsys.readouterr().out
+    assert "random weights" not in out
+    lines = out.strip().splitlines()
+    vals = [float(v) for v in lines[-1].split()]
+    assert len(vals) == 8 and all(np.isfinite(v) for v in vals)
+
+
+def _fake_raft3d_state_dict():
+    """Fabricate a full reference RAFT3D ``.pth`` (fnet BasicEncoder +
+    cnet torchvision-ResNet50-FPN + update_block keys) from the flax
+    model's init shapes, inverting `convert_raft3d`'s layout mapping."""
+    from sndepth_tpu.models.raft3d import RAFT3D
+
+    model = RAFT3D()
+    b, h, w = 1, 64, 96
+    zi = jnp.zeros((b, h, w, 3))
+    zd = jnp.ones((b, h, w))
+    k = jnp.array([[40.0, 40.0, 48.0, 32.0]])
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), zi, zi, zd, zd, k,
+                           iters=1))
+    g = torch.Generator().manual_seed(0)
+    sd = {}
+
+    def put_conv(prefix, p):
+        kh, kw, ci, co = p["kernel"].shape
+        sd[prefix + ".weight"] = _rand_like(g, (co, ci, kh, kw))
+        if "bias" in p:
+            sd[prefix + ".bias"] = _rand_like(g, p["bias"].shape)
+
+    def put_bn(prefix, p, s):
+        sd[prefix + ".weight"] = _rand_like(g, p["scale"].shape)
+        sd[prefix + ".bias"] = _rand_like(g, p["bias"].shape)
+        sd[prefix + ".running_mean"] = _rand_like(g, s["mean"].shape)
+        sd[prefix + ".running_var"] = _rand_like(g, s["var"].shape,
+                                                 positive=True)
+
+    # fnet (instance norm -> convs only)
+    fp = variables["params"]["BasicEncoder_0"]
+    put_conv("fnet.conv1", fp["Conv_0"])
+    put_conv("fnet.conv2", fp["Conv_1"])
+    bi = 0
+    for layer in (1, 2, 3):
+        for i in (0, 1):
+            blk = fp[f"_ResBlock_{bi}"]
+            t = f"fnet.layer{layer}.{i}"
+            put_conv(t + ".conv1", blk["Conv_0"])
+            put_conv(t + ".conv2", blk["Conv_1"])
+            if "Conv_2" in blk:
+                put_conv(t + ".downsample.0", blk["Conv_2"])
+            bi += 1
+
+    # cnet (ResNet-50 + FPN tail)
+    cp = variables["params"]["FPNContext_0"]
+    cs = variables["batch_stats"]["FPNContext_0"]
+    put_conv("cnet.conv1", cp["Conv_0"])
+    put_bn("cnet.bn1", cp["BatchNorm_0"], cs["BatchNorm_0"])
+    bi = 0
+    for layer, blocks in ((1, 3), (2, 4), (3, 6), (4, 3)):
+        for i in range(blocks):
+            bp = cp[f"_Bottleneck_{bi}"]
+            bs = cs[f"_Bottleneck_{bi}"]
+            t = f"cnet.layer{layer}.{i}"
+            for ci in range(3):
+                put_conv(f"{t}.conv{ci + 1}", bp[f"Conv_{ci}"])
+                put_bn(f"{t}.bn{ci + 1}", bp[f"BatchNorm_{ci}"],
+                       bs[f"BatchNorm_{ci}"])
+            if "Conv_3" in bp:
+                put_conv(t + ".downsample.0", bp["Conv_3"])
+                put_bn(t + ".downsample.1", bp["BatchNorm_3"],
+                       bs["BatchNorm_3"])
+            bi += 1
+    for i in (1, 2, 3):
+        put_conv(f"cnet.uconv{i}", cp[f"Conv_{i}"])
+
+    # update block
+    up = variables["params"]["Scan_RAFTIteration_0"]["BasicUpdateBlock_0"]
+    for flax_name, tname in (("Conv_0", "corr_enc.0"),
+                             ("Conv_1", "corr_enc.2"),
+                             ("Conv_2", "corr_enc.4"),
+                             ("Conv_3", "flow_enc.0"),
+                             ("Conv_4", "flow_enc.2")):
+        put_conv(f"update_block.{tname}", up[flax_name])
+    for gate in ("z", "r", "q"):
+        for i in (1, 2):
+            put_conv(f"update_block.gru.conv{gate}{i}",
+                     up["ConvGRU_0"][f"conv{gate}_{i}"])
+    for head in ("ae", "mask", "delta", "weight"):
+        put_conv(f"update_block.{head}.0", up[f"{head}_0"])
+        put_conv(f"update_block.{head}.2", up[f"{head}_1"])
+    return sd
+
+
+@pytest.mark.slow
+def test_raft3d_convert_then_kitti_submission(tmp_path):
+    """Fabricated RAFT3D .pth -> convert CLI -> kitti_submission
+    --ckpt_dir over a synthetic KITTI pair -> finite uint16 maps."""
+    from sndepth_tpu.cli import kitti_submission
+
+    pth = tmp_path / "raft3d_kitti.pth"
+    torch.save(_fake_raft3d_state_dict(), pth)
+    conv_dir = tmp_path / "converted_raft3d"
+    convert_cli.main(["raft3d", "--ckpt", str(pth),
+                      "--out", str(conv_dir)])
+
+    rng = np.random.RandomState(0)
+    seq = tmp_path / "testing" / "seq"
+    cal = tmp_path / "testing" / "calib_cam_to_cam"
+    seq.mkdir(parents=True)
+    cal.mkdir(parents=True)
+    for i in range(3):
+        _write_png(seq / f"{i:06d}.png",
+                   rng.randint(0, 255, (64, 96, 3)))
+        (cal / f"{i:06d}.txt").write_text(
+            "K_02: 50.0 0.0 48.0 0.0 50.0 32.0 0.0 0.0 1.0\n")
+
+    out_dir = tmp_path / "out"
+    kitti_submission.main([
+        "--root", str(tmp_path), "--out_dir", str(out_dir),
+        "--iters", "2", "--img_height", "64", "--img_width", "96",
+        "--ckpt_dir", str(conv_dir),
+    ])
+    import os
+    for sub in ("flow", "T", "tau", "phi"):
+        assert len(os.listdir(out_dir / sub)) == 3, sub
+    t = np.loadtxt(out_dir / "T" / "000001.txt")
+    assert np.isfinite(t).all()
+
+
+def _fake_vae_state_dict():
+    """Full-size LDM AutoencoderKL state dict (first_stage_model.*) from
+    the default VAEConfig shapes, inverting `convert_vae`'s mapping."""
+    from sndepth_tpu.models.vae import VAEConfig
+
+    cfg = VAEConfig()
+    g = torch.Generator().manual_seed(0)
+    sd = {}
+    F = "first_stage_model."
+
+    def conv(prefix, ci, co, k):
+        sd[prefix + ".weight"] = _rand_like(g, (co, ci, k, k))
+        sd[prefix + ".bias"] = _rand_like(g, (co,))
+
+    def gn(prefix, ch):
+        sd[prefix + ".weight"] = _rand_like(g, (ch,))
+        sd[prefix + ".bias"] = _rand_like(g, (ch,))
+
+    def resblock(t, cin, cout):
+        gn(t + ".norm1", cin)
+        conv(t + ".conv1", cin, cout, 3)
+        gn(t + ".norm2", cout)
+        conv(t + ".conv2", cout, cout, 3)
+        if cin != cout:
+            conv(t + ".nin_shortcut", cin, cout, 1)
+
+    def attnblock(t, ch):
+        gn(t + ".norm", ch)
+        for n in ("q", "k", "v", "proj_out"):
+            conv(f"{t}.{n}", ch, ch, 1)
+
+    nlv = len(cfg.ch_mult)
+    conv(F + "encoder.conv_in", cfg.in_channels, cfg.base_ch, 3)
+    ch = cfg.base_ch
+    for i, mult in enumerate(cfg.ch_mult):
+        out_ch = cfg.base_ch * mult
+        for j in range(cfg.num_res_blocks):
+            resblock(F + f"encoder.down.{i}.block.{j}", ch, out_ch)
+            ch = out_ch
+        if i != nlv - 1:
+            conv(F + f"encoder.down.{i}.downsample.conv", ch, ch, 3)
+    resblock(F + "encoder.mid.block_1", ch, ch)
+    attnblock(F + "encoder.mid.attn_1", ch)
+    resblock(F + "encoder.mid.block_2", ch, ch)
+    gn(F + "encoder.norm_out", ch)
+    zz = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
+    conv(F + "encoder.conv_out", ch, zz, 3)
+
+    ch = cfg.base_ch * cfg.ch_mult[-1]
+    conv(F + "decoder.conv_in", cfg.z_channels, ch, 3)
+    resblock(F + "decoder.mid.block_1", ch, ch)
+    attnblock(F + "decoder.mid.attn_1", ch)
+    resblock(F + "decoder.mid.block_2", ch, ch)
+    for i in reversed(range(nlv)):
+        out_ch = cfg.base_ch * cfg.ch_mult[i]
+        for j in range(cfg.num_res_blocks + 1):
+            resblock(F + f"decoder.up.{i}.block.{j}", ch, out_ch)
+            ch = out_ch
+        if i != 0:
+            conv(F + f"decoder.up.{i}.upsample.conv", ch, ch, 3)
+    gn(F + "decoder.norm_out", ch)
+    conv(F + "decoder.conv_out", ch, cfg.out_channels, 3)
+
+    conv(F + "quant_conv", zz, 2 * cfg.embed_dim, 1)
+    conv(F + "post_quant_conv", cfg.embed_dim, cfg.z_channels, 1)
+    return sd
+
+
+@pytest.mark.slow
+def test_vae_and_dino_convert_then_forward(tmp_path):
+    """Full-size VAE ckpt + full-size DINO ViT-S/16 ckpt -> convert CLI ->
+    restore -> finite forward through the framework models."""
+    from test_convert_more import TorchDinoViT
+
+    from sndepth_tpu.models.vae import AutoencoderKL
+    from sndepth_tpu.models.vit import ViT
+    from sndepth_tpu.train import checkpoint as ckpt_lib
+
+    # VAE
+    pth = tmp_path / "nd_laion_ema.ckpt"
+    torch.save({"state_dict": _fake_vae_state_dict()}, pth)
+    conv_dir = tmp_path / "converted_vae"
+    convert_cli.main(["vae", "--ckpt", str(pth), "--out", str(conv_dir)])
+
+    net = AutoencoderKL(dtype=jnp.float32)
+    tpl = jax.eval_shape(
+        lambda: net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 32, 32, 4)),
+                         rng=jax.random.PRNGKey(1)))
+    tpl = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype),
+                       tpl["params"])
+    params = ckpt_lib.restore_checkpoint(str(conv_dir), tpl)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 4),
+                    jnp.float32)
+    recon, post = net.apply({"params": params}, x,
+                            rng=jax.random.PRNGKey(2))
+    assert recon.shape == x.shape
+    assert np.isfinite(np.asarray(recon)).all()
+    assert np.isfinite(np.asarray(post.mean)).all()
+
+    # DINO ViT-S/16 (full size: dim 384, depth 12)
+    torch.manual_seed(0)
+    dino = TorchDinoViT()
+    with torch.no_grad():
+        dino.cls_token.normal_(0, 0.02)
+    pth2 = tmp_path / "dino_deitsmall16_pretrain.pth"
+    torch.save(dino.state_dict(), pth2)
+    conv_dir2 = tmp_path / "converted_dino"
+    convert_cli.main(["dino", "--ckpt", str(pth2),
+                      "--out", str(conv_dir2)])
+
+    # the dino save wraps the ViT under "net" (the feature extractor's
+    # submodule name)
+    vit = ViT(dtype=jnp.float32)
+    tpl2 = jax.eval_shape(
+        lambda: vit.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 224, 224, 3))))
+    tpl2 = {"net": jax.tree.map(lambda s: np.zeros(s.shape, s.dtype),
+                                tpl2["params"])}
+    params2 = ckpt_lib.restore_checkpoint(str(conv_dir2), tpl2)["net"]
+    out = vit.apply({"params": params2},
+                    jnp.asarray(np.random.RandomState(1).rand(
+                        1, 224, 224, 3), jnp.float32))
+    assert np.isfinite(np.asarray(out)).all()

@@ -246,3 +246,120 @@ def test_geonet_stage1_loss_matches_split(monkeypatch):
                                rtol=3e-5)
     np.testing.assert_allclose(float(aux_fused["loss_total"]),
                                float(aux_split["loss_total"]), rtol=3e-5)
+
+
+def _pair_w_ref(tgt, srcs, cf, cb, wf, wb, mode):
+    ns = srcs.shape[1]
+    total = 0.0
+    for s in range(ns):
+        ef = (ALPHA * dssim(tgt, _REF[mode](srcs[:, s], cf[:, s]))
+              + (1 - ALPHA) * jnp.abs(tgt - _REF[mode](srcs[:, s],
+                                                       cf[:, s])))
+        eb = (ALPHA * dssim(srcs[:, s], _REF[mode](tgt, cb[:, s]))
+              + (1 - ALPHA) * jnp.abs(srcs[:, s] - _REF[mode](tgt,
+                                                              cb[:, s])))
+        total = total + jnp.sum(wf[:, s, :, :, None] * ef)
+        total = total + jnp.sum(wb[:, s, :, :, None] * eb)
+    return total
+
+
+@pytest.mark.parametrize("mode", ["edge_zero", "zero_pad"])
+def test_pair_weighted_loss_and_grads_match_split_ops(mode):
+    """warp_photo_pair_loss_weighted == per-pixel-weighted split ops,
+    value and coord gradients (stage-2 GeoNet's masked loss form)."""
+    from sndepth_tpu.kernels.photo_loss import warp_photo_pair_loss_weighted
+    tgt, srcs, cf, cb = _pair_case(7, b=1, h=8, w=40)
+    rng = np.random.RandomState(7)
+    b, ns, h, w = cf.shape[:4]
+    wf = jnp.asarray(rng.rand(b, ns, h, w), jnp.float32)
+    wb = jnp.asarray((rng.rand(b, ns, h, w) > 0.4), jnp.float32)
+
+    got = float(warp_photo_pair_loss_weighted(tgt, srcs, cf, cb, wf, wb,
+                                              ALPHA, mode))
+    want = float(_pair_w_ref(tgt, srcs, cf, cb, wf, wb, mode))
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+
+    gf, gb = jax.grad(
+        lambda a, b2: 0.43 * warp_photo_pair_loss_weighted(
+            tgt, srcs, a, b2, wf, wb, ALPHA, mode),
+        argnums=(0, 1))(cf, cb)
+    rf, rb = jax.grad(
+        lambda a, b2: 0.43 * _pair_w_ref(tgt, srcs, a, b2, wf, wb, mode),
+        argnums=(0, 1))(cf, cb)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(rf),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(rb),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_geonet_stage2_flow_loss_pair_matches_split(monkeypatch):
+    """End-to-end: the weighted pair-kernel path in the stage-2
+    (train_flow) loss equals the split-ops loss — value AND flow-param
+    gradients (the full-flow losses differentiate through the computed
+    residual flow, `baseline.py:1061-1135`)."""
+    import numpy as np
+    from sndepth_tpu.core.config import GeoNetConfig
+    from sndepth_tpu.kernels import photo_loss as pk
+    from sndepth_tpu.train import geonet
+
+    config = GeoNetConfig(batch_size=1, img_height=16, img_width=52,
+                          num_scales=2, train_flow=True)
+    rng = np.random.RandomState(2)
+    h, w = config.img_height, config.img_width
+    batch = {
+        "tgt": jnp.asarray(rng.randint(0, 256, (1, h, w, 3),
+                                       dtype=np.uint8)),
+        "src": jnp.asarray(rng.randint(0, 256, (1, h, w, 6),
+                                       dtype=np.uint8)),
+        "intrinsics": jnp.asarray(np.tile(
+            np.array([[[30.0, 0, 26.0], [0, 30.0, 8.0], [0, 0, 1]]],
+                     np.float32), (1, 1, 1))),
+    }
+    params = geonet.init_params(jax.random.PRNGKey(0), config)
+    pb = geonet.preprocess_batch(batch)
+
+    def flow_grad(aux_and_loss_fn):
+        def f(flow_params):
+            p = dict(params)
+            p["flow"] = flow_params
+            loss, _ = geonet.geonet_loss(p, pb, config)
+            return loss
+        return jax.grad(f)(params["flow"])
+
+    monkeypatch.setattr(pk, "_BACKEND", "split")
+    _, aux_split = geonet.geonet_loss(params, pb, config)
+    g_split = flow_grad(None)
+    monkeypatch.setattr(pk, "_BACKEND", "pair")
+    _, aux_pair = geonet.geonet_loss(params, pb, config)
+    g_pair = flow_grad(None)
+
+    for k in ("loss_full_warp", "loss_total", "loss_rigid_warp"):
+        np.testing.assert_allclose(float(aux_pair[k]),
+                                   float(aux_split[k]), rtol=5e-5), k
+    flat_s = jax.tree_util.tree_leaves(g_split)
+    flat_p = jax.tree_util.tree_leaves(g_pair)
+    for a, b in zip(flat_p, flat_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-3)
+
+
+@pytest.mark.parametrize("mode", ["edge_zero", "zero_pad"])
+def test_pair_portrait_orientation_matches(mode, monkeypatch):
+    """Forced portrait dispatch (transposed planes + swapped coords) must
+    reproduce the landscape kernel exactly — value and coord grads."""
+    from sndepth_tpu.kernels import photo_loss as pk
+    tgt, srcs, cf, cb = _pair_case(8, b=1, h=8, w=40)
+
+    monkeypatch.setattr(pk, "_PORTRAIT", "0")
+    base = float(pk._pair_run(tgt, srcs, cf, cb, ALPHA, mode, False)[0])
+    _, gcf0, gcb0 = pk._pair_run(tgt, srcs, cf, cb, ALPHA, mode, True)
+
+    monkeypatch.setattr(pk, "_PORTRAIT", "1")
+    got = float(pk._pair_run(tgt, srcs, cf, cb, ALPHA, mode, False)[0])
+    _, gcf1, gcb1 = pk._pair_run(tgt, srcs, cf, cb, ALPHA, mode, True)
+
+    np.testing.assert_allclose(got, base, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(gcf1), np.asarray(gcf0),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gcb1), np.asarray(gcb0),
+                               atol=1e-5, rtol=1e-4)

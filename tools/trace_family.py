@@ -114,6 +114,35 @@ def _build(fam, batch, h, w):
             return x
         return x0, advance
 
+    if fam == "raft3d_train":
+        from sndepth_tpu.models.raft3d import RAFT3D
+        from sndepth_tpu.train import raft3d as tr
+
+        model = RAFT3D()
+        rng = np.random.RandomState(0)
+        b = max(batch, 1)
+        state = tr.create_train_state(jax.random.PRNGKey(0), model,
+                                      (b, h, w))
+        step = tr.make_train_step(model, iters=12)
+        data = {
+            "image1": jnp.asarray(rng.rand(b, h, w, 3), jnp.float32),
+            "image2": jnp.asarray(rng.rand(b, h, w, 3), jnp.float32),
+            "depth1": jnp.asarray(2 + rng.rand(b, h, w), jnp.float32),
+            "depth2": jnp.asarray(2 + rng.rand(b, h, w), jnp.float32),
+            "intrinsics": jnp.asarray(
+                np.tile([[w * 0.58, h * 1.92, w / 2, h / 2]], (b, 1)),
+                jnp.float32),
+            "flow": jnp.asarray(rng.rand(b, h, w, 3), jnp.float32),
+            "valid": jnp.ones((b, h, w), jnp.float32),
+        }
+
+        def advance(state, n):
+            for _ in range(n):
+                state, m = step(state, data)
+            assert np.isfinite(float(m["loss"]))
+            return state
+        return state, advance
+
     if fam == "raft3d":
         from sndepth_tpu.pipelines import RAFT3DStage
         stage = RAFT3DStage(iters=16, sample_shape=(1, h, w))
@@ -173,6 +202,7 @@ def _grouped(rows, top, denom_steps):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("family", choices=["geonet", "flow", "nnet", "motion",
+                                      "raft3d_train",
                                       "vae", "raft3d"])
     p.add_argument("--batch", default=0, type=int)
     p.add_argument("--img_height", default=0, type=int)
