@@ -732,6 +732,14 @@ class RAFT3D(nn.Module):
     gn_radius: int = 32
     bilaplacian: bool = False   # `raft3d_bilaplacian.py` variant
     dtype: Any = jnp.float32
+    # Rematerialize each scanned refinement iteration in the backward
+    # pass: without it, grad-of-scan stores every body intermediate
+    # (corr slabs, GN blocks, GRU activations) for all `iters`
+    # iterations — an HBM-traffic wall for training. With remat, only
+    # the (small) carry is saved and the body is recomputed; the body
+    # is gather/VPU-bound, so the 2x FLOPs are cheap next to the
+    # saved residual traffic. Grad-parity-tested vs remat=False.
+    remat_iters: bool = False
 
     @nn.compact
     def __call__(self, image1: Array, image2: Array, depth1: Array,
@@ -765,8 +773,10 @@ class RAFT3D(nn.Module):
 
         const = (fmap1, f2_pyramid, inp, coords0, depth1_r8, depth2_r8,
                  intrinsics_r8, depth1, intrinsics)
+        body_cls = (nn.remat(_RAFTIteration, prevent_cse=False)
+                    if self.remat_iters else _RAFTIteration)
         scan_mod = nn.scan(
-            _RAFTIteration,
+            body_cls,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=nn.broadcast,
@@ -774,7 +784,10 @@ class RAFT3D(nn.Module):
             length=iters,
         )(hidden_dim=hdim, corr_radius=self.corr_radius,
           gn_radius=self.gn_radius, train_mode=train_mode,
-          bilaplacian=self.bilaplacian, dtype=self.dtype)
+          bilaplacian=self.bilaplacian, dtype=self.dtype,
+          # Pin the scope name so the param tree is identical with and
+          # without remat (default would be remat(scan(...))).
+          name="Scan_RAFTIteration_0")
 
         Ts0 = se3.identity((b, h8, w8))
         ae0 = jnp.zeros((b, h8, w8, 16 if self.bilaplacian else 32))

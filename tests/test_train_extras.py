@@ -69,6 +69,51 @@ def test_raft3d_train_step_decreases_loss():
 
 
 @pytest.mark.slow
+def test_raft3d_remat_iters_grad_parity():
+    """remat_iters must change only the backward's memory schedule, not
+    its values: loss and grads match the non-remat model exactly."""
+    from sndepth_tpu.models.raft3d import RAFT3D
+    rng = np.random.RandomState(1)
+    b, h, w = 1, 32, 64
+    batch = {
+        "image1": jnp.asarray(rng.rand(b, h, w, 3), jnp.float32),
+        "image2": jnp.asarray(rng.rand(b, h, w, 3), jnp.float32),
+        "depth1": jnp.asarray(2 + rng.rand(b, h, w), jnp.float32),
+        "depth2": jnp.asarray(2 + rng.rand(b, h, w), jnp.float32),
+        "flow": jnp.zeros((b, h, w, 3)),
+        "valid": jnp.ones((b, h, w)),
+        "intrinsics": jnp.array([[40.0, 40.0, 32.0, 16.0]]),
+    }
+
+    base = RAFT3D(corr_levels=2, gn_radius=8, remat_iters=False)
+    state = raft3d_train.create_train_state(
+        jax.random.PRNGKey(0), base, (b, h, w))
+
+    def grads_for(remat):
+        # Same params for both models: remat must be name-transparent.
+        model = RAFT3D(corr_levels=2, gn_radius=8, remat_iters=remat)
+
+        def loss_fn(params):
+            est, rev, _ = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["image1"], batch["image2"], batch["depth1"],
+                batch["depth2"], batch["intrinsics"], iters=2,
+                train_mode=True)
+            return raft3d_train.sequence_loss(
+                est, rev, batch["flow"], batch["valid"])[0]
+
+        return jax.jit(jax.value_and_grad(loss_fn))(state.params)
+
+    loss0, g0 = grads_for(False)
+    loss1, g1 = grads_for(True)
+    np.testing.assert_allclose(float(loss0), float(loss1), rtol=1e-6)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g0),
+                     jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.slow
 def test_alt_disp_models():
     from sndepth_tpu.models.dispnet_alt import DispNet, DispUNet
     x = jnp.zeros((1, 64, 96, 3))
