@@ -83,15 +83,56 @@ def _pool3(pbuf, val, h, w):
     return (col[:, 0:w] + col[:, 1:w + 1] + col[:, 2:w + 2]) / 9.0
 
 
-def _photo_channel(pbuf, x, y, mu_x, sigma_x, mask, htp, wtp, alpha,
+# Pool backend for the pair/fused kernels: "shift" (VPU separable
+# shifts, default), "row" (vertical by sublane shifts + horizontal by a
+# banded matmul on the otherwise-idle MXU — lane shifts are the pricey
+# half on TPU), "mxu" (both dims as banded matmuls). All exact: the
+# banded matrices are 0/1 tridiagonals, so the matmul IS the 3-tap sum
+# in f32. A/B on real TPU before changing the default.
+_POOL = os.environ.get("SNDEPTH_PHOTO_POOL", "shift")
+
+
+def _tridiag(n: int, shift: int = 0):
+    """(n + 2*shift, n) 0/1 band: out[i, j] = 1 iff |i - shift - j| <= 1."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (n + 2 * shift, n), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n + 2 * shift, n), 1)
+    return (jnp.abs(i - shift - j) <= 1).astype(jnp.float32)
+
+
+def _make_pool(pbuf, htp, wtp):
+    """Returns pool(val) -> 3x3/9 zero-padded average over (htp, wtp)."""
+    if _POOL == "shift":
+        return lambda v: _pool3(pbuf, v, htp, wtp)
+    th = _tridiag(wtp)                       # (wtp, wtp), symmetric
+    if _POOL == "row":
+        thp = _tridiag(wtp, shift=1)         # (wtp + 2, wtp)
+
+        def pool(v):
+            pbuf[1:htp + 1, 1:wtp + 1] = v
+            col = (pbuf[0:htp, :] + pbuf[1:htp + 1, :]
+                   + pbuf[2:htp + 2, :])     # (htp, wtp + 2)
+            return jax.lax.dot(col, thp,
+                               preferred_element_type=jnp.float32) / 9.0
+        return pool
+
+    tv = _tridiag(htp)                       # (htp, htp)
+
+    def pool(v):
+        t = jax.lax.dot(v, th, preferred_element_type=jnp.float32)
+        return jax.lax.dot(tv, t, preferred_element_type=jnp.float32) / 9.0
+    return pool
+
+
+def _photo_channel(pool, x, y, mu_x, sigma_x, mask, htp, wtp, alpha,
                    need_grad):
     """DSSIM+L1 error map and (if ``need_grad``) its adjoint w.r.t. the
     warped plane ``y`` for one channel. ``x`` is the comparison plane with
     precomputed pools ``mu_x`` / ``sigma_x``; ``y`` must already be masked.
+    ``pool`` is a 3x3/9 zero-padded average (see :func:`_make_pool`).
     Returns (err, dw) with ``dw`` None unless ``need_grad``."""
-    mu_y = _pool3(pbuf, y, htp, wtp)
-    sigma_y = _pool3(pbuf, y * y, htp, wtp) - mu_y * mu_y
-    sigma_xy = _pool3(pbuf, x * y, htp, wtp) - mu_x * mu_y
+    mu_y = pool(y)
+    sigma_y = pool(y * y) - mu_y * mu_y
+    sigma_xy = pool(x * y) - mu_x * mu_y
 
     t1 = 2.0 * sigma_xy + _C2
     t2 = 2.0 * mu_x * mu_y + _C1
@@ -119,9 +160,9 @@ def _photo_channel(pbuf, x, y, mu_x, sigma_x, mask, htp, wtp, alpha,
     a_d = 0.5 * gp * n * inv_d * inv_d
     c1 = 2.0 * a_n * (t1 - t2)
     c2 = 2.0 * a_d * (t3 - t4)
-    pa_y = _pool3(pbuf, mu_x * c1 + mu_y * c2, htp, wtp)
-    pb_xx = _pool3(pbuf, a_d * t4, htp, wtp)
-    pb_xy = _pool3(pbuf, 2.0 * a_n * t2, htp, wtp)
+    pa_y = pool(mu_x * c1 + mu_y * c2)
+    pb_xx = pool(a_d * t4)
+    pb_xy = pool(2.0 * a_n * t2)
     d_ssim = pa_y + 2.0 * y * pb_xx + x * pb_xy
     d_l1 = -jnp.sign(diff) * mask
     dw = alpha * d_ssim + (1.0 - alpha) * d_l1
@@ -158,6 +199,7 @@ def _kernel(x_ref, y_ref, src_ref, tgt_ref, meta_ref, loss_ref, dx_ref,
     jax.lax.fori_loop(0, ntile, tile_body, 0)
 
     pbuf[:] = jnp.zeros((htp + 2, wtp + 2), jnp.float32)
+    pool = _make_pool(pbuf, htp, wtp)
 
     # In-image mask (pyramid heights are 8-aligned so only columns pad).
     mask = (jax.lax.broadcasted_iota(jnp.int32, (htp, wtp), 1)
@@ -175,9 +217,9 @@ def _kernel(x_ref, y_ref, src_ref, tgt_ref, meta_ref, loss_ref, dx_ref,
         x = tgt_ref[0, ch]                       # zero-padded
         y = wbuf[ch] * mask                      # zero the pad region
 
-        mu_x = _pool3(pbuf, x, htp, wtp)
-        sigma_x = _pool3(pbuf, x * x, htp, wtp) - mu_x * mu_x
-        err, dw = _photo_channel(pbuf, x, y, mu_x, sigma_x, mask, htp,
+        mu_x = pool(x)
+        sigma_x = pool(x * x) - mu_x * mu_x
+        err, dw = _photo_channel(pool, x, y, mu_x, sigma_x, mask, htp,
                                  wtp, alpha, need_grad)
         loss_part = loss_part + err.reshape(
             htp // _SUB, _SUB, wtp // _LANE, _LANE).sum(axis=(0, 2))
@@ -292,6 +334,7 @@ def _pair_kernel(xf_ref, yf_ref, xb_ref, yb_ref, src_ref, tgt_ref,
     ntile = (htp // _SUB) * ncol
 
     pbuf[:] = jnp.zeros((htp + 2, wtp + 2), jnp.float32)
+    pool = _make_pool(pbuf, htp, wtp)
     mask = (jax.lax.broadcasted_iota(jnp.int32, (htp, wtp), 1)
             < wt).astype(jnp.float32)
     if ht < htp:
@@ -301,9 +344,9 @@ def _pair_kernel(xf_ref, yf_ref, xb_ref, yb_ref, src_ref, tgt_ref,
     # Target pools, shared by all ns forward comparisons.
     for ch in range(nch):
         x = tgt_ref[0, ch]
-        mxbuf[ch] = _pool3(pbuf, x, htp, wtp)
+        mxbuf[ch] = pool(x)
         mu = mxbuf[ch]
-        sxbuf[ch] = _pool3(pbuf, x * x, htp, wtp) - mu * mu
+        sxbuf[ch] = pool(x * x) - mu * mu
 
     loss_part = jnp.zeros((_SUB, _LANE), jnp.float32)
 
@@ -354,10 +397,10 @@ def _pair_kernel(xf_ref, yf_ref, xb_ref, yb_ref, src_ref, tgt_ref,
                     sigma_x = sxbuf[ch]
                 else:
                     x = src_ref[0, si, ch]
-                    mu_x = _pool3(pbuf, x, htp, wtp)
-                    sigma_x = _pool3(pbuf, x * x, htp, wtp) - mu_x * mu_x
+                    mu_x = pool(x)
+                    sigma_x = pool(x * x) - mu_x * mu_x
                 y = wbuf[ch] * mask
-                err, dw = _photo_channel(pbuf, x, y, mu_x, sigma_x,
+                err, dw = _photo_channel(pool, x, y, mu_x, sigma_x,
                                          cot_mask, htp, wtp, alpha,
                                          need_grad)
                 loss_part = loss_part + err.reshape(

@@ -343,6 +343,32 @@ def test_geonet_stage2_flow_loss_pair_matches_split(monkeypatch):
                                    atol=5e-5, rtol=5e-3)
 
 
+@pytest.mark.parametrize("pool", ["row", "mxu"])
+def test_pair_pool_backends_match_shift(pool, monkeypatch):
+    """The banded-matmul pool backends must reproduce the shift pool
+    exactly (0/1 tridiagonal matmul == 3-tap sum in f32)."""
+    from sndepth_tpu.kernels import photo_loss as pk
+    tgt, srcs, cf, cb = _pair_case(9, b=1, h=8, w=40)
+
+    monkeypatch.setattr(pk, "_POOL", "shift")
+    base = float(pk._pair_run(tgt, srcs, cf, cb, ALPHA, "edge_zero",
+                              False)[0])
+    _, gcf0, gcb0 = pk._pair_run(tgt, srcs, cf, cb, ALPHA, "edge_zero",
+                                 True)
+
+    monkeypatch.setattr(pk, "_POOL", pool)
+    got = float(pk._pair_run(tgt, srcs, cf, cb, ALPHA, "edge_zero",
+                             False)[0])
+    _, gcf1, gcb1 = pk._pair_run(tgt, srcs, cf, cb, ALPHA, "edge_zero",
+                                 True)
+
+    np.testing.assert_allclose(got, base, rtol=2e-6)
+    np.testing.assert_allclose(np.asarray(gcf1), np.asarray(gcf0),
+                               atol=2e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gcb1), np.asarray(gcb0),
+                               atol=2e-6, rtol=1e-5)
+
+
 @pytest.mark.parametrize("mode", ["edge_zero", "zero_pad"])
 def test_pair_portrait_orientation_matches(mode, monkeypatch):
     """Forced portrait dispatch (transposed planes + swapped coords) must
