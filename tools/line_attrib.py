@@ -21,7 +21,20 @@ ap = argparse.ArgumentParser()
 ap.add_argument("trace_dir")
 ap.add_argument("--steps", type=int, default=3)
 ap.add_argument("--top", type=int, default=50)
+ap.add_argument("--hlo", default="", help="optimized-HLO text dump; used "
+                "to resolve op metadata when trace long_names lack it")
 a = ap.parse_args()
+
+hlo_meta = {}
+if a.hlo:
+    # Map instruction name -> its metadata={...} string. Covers both
+    # '%name = ...' defs and fusion roots.
+    name_re = re.compile(r"^\s+(?:ROOT )?%([\w.\-]+) = .*?"
+                         r"(metadata=\{[^}]*\})", re.M)
+    with open(a.hlo) as f:
+        txt = f.read()
+    for m in name_re.finditer(txt):
+        hlo_meta[m.group(1)] = m.group(2)
 
 evs = load_trace_events(a.trace_dir)
 device_pids, line_tids = set(), {}
@@ -53,6 +66,8 @@ by_loc = collections.defaultdict(float)
 loc_ops = collections.defaultdict(collections.Counter)
 for name, us in tot.items():
     ln = long_names.get(name, "")
+    if name in hlo_meta and "op_name=" not in (ln or ""):
+        ln = (ln or "") + " " + hlo_meta[name]
     m = meta_re.search(ln or "")
     if m and m.group(2):
         sf = m.group(2)

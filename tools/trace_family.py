@@ -57,6 +57,7 @@ def _build(fam, batch, h, w):
                 state, m = step(state, data)
             assert np.isfinite(float(m["loss_total"]))
             return state
+        advance.lower1 = lambda: jax.jit(step).lower(state, data)
         return state, advance
 
     if fam == "nnet":
@@ -74,6 +75,7 @@ def _build(fam, batch, h, w):
                 state, m = step(state, data)
             assert np.isfinite(float(m["loss"]))
             return state
+        advance.lower1 = lambda: jax.jit(step).lower(state, data)
         return state, advance
 
     if fam == "motion":
@@ -92,6 +94,7 @@ def _build(fam, batch, h, w):
                 state, m = step(state, data)
             assert np.isfinite(float(m["loss"]))
             return state
+        advance.lower1 = lambda: jax.jit(step).lower(state, data)
         return state, advance
 
     if fam == "vae":
@@ -112,6 +115,7 @@ def _build(fam, batch, h, w):
                 x, s = run(x)
             assert np.isfinite(float(s))
             return x
+        advance.lower1 = lambda: run.lower(x0)
         return x0, advance
 
     if fam == "raft3d_train":
@@ -141,6 +145,7 @@ def _build(fam, batch, h, w):
                 state, m = step(state, data)
             assert np.isfinite(float(m["loss"]))
             return state
+        advance.lower1 = lambda: step.lower(state, data)
         return state, advance
 
     if fam == "raft3d":
@@ -218,7 +223,8 @@ def main(argv=None):
 
     defaults = {"geonet": (128, 128, 416), "flow": (32, 128, 416),
                 "nnet": (4, 480, 640), "motion": (16, 384, 768),
-                "vae": (8, 128, 416), "raft3d": (1, 128, 416)}
+                "vae": (8, 128, 416), "raft3d": (1, 128, 416),
+                "raft3d_train": (2, 128, 416)}
     db, dh, dw = defaults[args.family]
     batch = args.batch or db
     h = args.img_height or dh
