@@ -22,6 +22,7 @@ distribution without a full sort.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import flax.linen as nn
@@ -33,6 +34,24 @@ from sndepth_tpu.ops.resize import resize_bilinear_align_corners
 Array = jax.Array
 
 MIN_KAPPA = 0.01
+
+# Point-sampling backend: "exact" (full top_k sort + permutation — the
+# reference-faithful split), "approx" (TPU-native approx_max_k for the
+# importance set + stratified-uniform coverage via approx_max_k over
+# random keys; O(n) instead of O(n log n) full sorts — the 4 sorts were
+# ~10 ms of the measured 198 ms NNET train step), "auto" = approx on
+# TPU, exact elsewhere. The sampled sets differ per draw from the exact
+# backend (selection machinery only, not a numeric op), with the same
+# importance/coverage semantics.
+_SAMPLE = os.environ.get("SNDEPTH_NNET_SAMPLE", "auto")
+
+
+def _use_approx_sampling() -> bool:
+    if _SAMPLE == "exact":
+        return False
+    if _SAMPLE == "approx":
+        return True
+    return jax.default_backend() in ("tpu", "axon")
 
 
 def norm_normalize(out: Array) -> Array:
@@ -65,6 +84,23 @@ def sample_points(rng: Array, init_normal: Array,
         mask = resize_nearest(gt_norm_mask.astype(jnp.float32), h, w)
         invalid = mask.reshape(b, h * w) < 0.5
         uncertainty = jnp.where(invalid, -1e4, uncertainty)
+
+    if _use_approx_sampling():
+        # O(n) TPU path: approx_max_k for the importance set; coverage =
+        # approx_max_k over uniform random keys with importance masked
+        # out (a stratified uniform-without-replacement sample over the
+        # remainder — same coverage role as the reference's permutation).
+        _, importance = jax.lax.approx_max_k(uncertainty, n_imp)
+        if n_cov > 0:
+            key = jax.random.uniform(rng, (b, h * w))
+            bidx = jnp.broadcast_to(jnp.arange(b)[:, None],
+                                    importance.shape)
+            key = key.at[bidx, importance].set(-1.0)
+            _, coverage = jax.lax.approx_max_k(key, n_cov)
+            samples = jnp.concatenate([importance, coverage], axis=1)
+        else:
+            samples = importance
+        return samples // w, samples % w
 
     # Descending sort of all positions; topk(HW) is a full sort but keeps
     # the importance/remainder split identical to the reference.

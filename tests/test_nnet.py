@@ -61,6 +61,29 @@ def test_sample_points_counts_and_uniqueness():
         got_imp <= set(np.argsort(kappa[0])[:n_imp + 5].tolist())
 
 
+def test_sample_points_approx_backend(monkeypatch):
+    """The approx (TPU) sampling backend keeps the contract: n unique
+    in-range samples, importance set biased to the lowest-kappa points."""
+    from sndepth_tpu.models import normal_decoder as nd
+    monkeypatch.setattr(nd, "_SAMPLE", "approx")
+    rng = jax.random.PRNGKey(3)
+    b, h, w = 2, 16, 20
+    init = jax.random.normal(rng, (b, h, w, 4))
+    rows, cols = nd.sample_points(rng, init, None, 0.4, 0.7)
+    n = int(0.4 * h * w)
+    n_imp = int(0.7 * n)
+    assert rows.shape == (b, n) and cols.shape == (b, n)
+    flat = np.asarray(rows * w + cols)
+    assert (flat >= 0).all() and (flat < h * w).all()
+    for i in range(b):
+        assert len(set(flat[i].tolist())) == n   # no duplicate samples
+    # Importance samples skew low-kappa: their mean uncertainty rank
+    # beats the population median clearly.
+    kappa = np.asarray(init[..., 3].reshape(b, -1))
+    ranks = np.argsort(np.argsort(kappa[0]))     # 0 = lowest kappa
+    assert ranks[flat[0][:n_imp]].mean() < 0.25 * h * w
+
+
 def test_d2n_recovers_plane_normal():
     # Points on the plane n.x = const have LS normal parallel to n.
     # k=9 dil=4 patches span +-16 px, so use a 48x64 image and a 17-px
