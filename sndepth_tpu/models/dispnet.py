@@ -343,13 +343,76 @@ class _DownBlock(nn.Module):
         return nn.relu(x)
 
 
+def _deconv2x_impl(x: Array, k: Array, bias: Array, dtype: Any) -> Array:
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), k[::-1, ::-1].astype(dtype),
+        window_strides=(1, 1), padding=((1, 2), (1, 2)),
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + bias.astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _deconv2x(x: Array, k: Array, bias: Array, dtype: Any) -> Array:
+    """torch ConvTranspose2d(k3 s2 p1 op1) forward with hand-formed
+    gradients. XLA's autodiff of the lhs-dilated form materializes a
+    full-resolution spatial ``reverse`` of dy AND a lane-starved
+    weight-grad per level (geonet trace: ~4 ms of reverses + the
+    worst-utilization wgrad fusions). The closed forms below avoid both;
+    grad-parity-tested vs autodiff of :func:`_deconv2x_impl`."""
+    return _deconv2x_impl(x, k, bias, dtype)
+
+
+def _deconv2x_fwd(x, k, bias, dtype):
+    return _deconv2x(x, k, bias, dtype), (x, k)
+
+
+def _deconv2x_bwd(dtype, res, dy):
+    x, k = res
+    ci = k.shape[2]
+    # dx: the adjoint of a transposed conv is the plain strided conv
+    # with the same (unflipped) taps, in/out swapped.
+    dx = jax.lax.conv_general_dilated(
+        dy, k.swapaxes(2, 3).astype(dtype), (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(x.dtype)
+    # dk via the output-phase (space-to-depth) formulation: y's phase
+    # (a, c) is a 2x2 stride-1 conv of x (see _S2DUpConv2x), and each
+    # original tap (u, v) appears in exactly one (phase, offset) slot:
+    # u = 1 <- (a=0, dy=0), u = 2 <- (a=1, dy=0), u = 0 <- (a=1, dy=1).
+    # So the whole dk is one well-laned 2x2 wgrad of (x, s2d(dy)) plus a
+    # static re-indexing of the tiny (2, 2, ci, 2, 2, co) result.
+    n, h2, w2, co = dy.shape
+    dy2 = dy.reshape(n, h2 // 2, 2, w2 // 2, 2, co)
+    dy2 = dy2.transpose(0, 1, 3, 2, 4, 5).reshape(
+        n, h2 // 2, w2 // 2, 4 * co)
+    dk2 = jax.vjp(
+        lambda kv: jax.lax.conv_general_dilated(
+            x.astype(dtype), kv.astype(dtype), (1, 1), ((0, 1), (0, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")),
+        jnp.zeros((2, 2, ci, 4 * co), k.dtype))[1](dy2)[0]
+    dk2 = dk2.reshape(2, 2, ci, 2, 2, co)
+    # dk[u, v] = dk2[dy(u), a(u) ... ]: (u, v) -> (dy, a), (dx, c)
+    # with (dy, a) = {0: (1, 1), 1: (0, 0), 2: (0, 1)}[u].
+    um = [(1, 1), (0, 0), (0, 1)]
+    dk = jnp.stack([
+        jnp.stack([dk2[du, dv, :, au, cv, :] for (dv, cv) in um], axis=0)
+        for (du, au) in um], axis=0)
+    db = jnp.sum(dy, axis=(0, 1, 2), dtype=jnp.float32)
+    return dx, dk.astype(k.dtype), db.astype(jnp.float32)
+
+
+_deconv2x.defvjp(_deconv2x_fwd, _deconv2x_bwd)
+
+
 class TorchConvTranspose2x(nn.Module):
     """Transposed conv with torch ``ConvTranspose2d(k=3, s=2, p=1, op=1)``
     semantics, exactly (verified to f64 precision against torch): kernel
     (kh, kw, in, out), zero-stuffing via ``lhs_dilation=2``, padding
     (k-1-p, k-1-p+op) = (1, 2), spatially flipped taps. Output = 2x input.
     Exactness matters for converting reference checkpoints
-    (`sndepth_tpu/utils/convert_weights.py`)."""
+    (`sndepth_tpu/utils/convert_weights.py`). The backward uses the
+    hand-formed gradients of :func:`_deconv2x` (same values, no
+    full-res reverses) when the spatial dims are even."""
     features: int
     dtype: Any = jnp.float32
 
@@ -358,12 +421,7 @@ class TorchConvTranspose2x(nn.Module):
         in_ch = x.shape[-1]
         k = self.param("kernel", _xavier, (3, 3, in_ch, self.features))
         b = self.param("bias", nn.initializers.zeros, (self.features,))
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), k[::-1, ::-1].astype(self.dtype),
-            window_strides=(1, 1), padding=((1, 2), (1, 2)),
-            lhs_dilation=(2, 2),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return y + b.astype(self.dtype)
+        return _deconv2x(x, k, b, self.dtype)
 
 
 class _S2DUpConv2x(nn.Module):

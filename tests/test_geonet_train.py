@@ -333,6 +333,36 @@ def test_s2d_upconv_matches_torch_transpose():
                                    atol=1e-5)
 
 
+def test_deconv2x_custom_vjp_matches_autodiff():
+    """_deconv2x's hand-formed dx/dk/db == autodiff of the lhs-dilated
+    forward (same values, no full-res reverse / lane-starved wgrad)."""
+    from sndepth_tpu.models.dispnet import _deconv2x, _deconv2x_impl
+
+    rng = np.random.RandomState(7)
+    for c_in, c_out, h, w in [(17, 16, 10, 14), (8, 4, 5, 7)]:
+        x = jnp.asarray(rng.randn(2, h, w, c_in), jnp.float32)
+        k = jnp.asarray(rng.randn(3, 3, c_in, c_out) * 0.2, jnp.float32)
+        b = jnp.asarray(rng.randn(c_out) * 0.1, jnp.float32)
+        cot = jnp.asarray(rng.randn(2, 2 * h, 2 * w, c_out), jnp.float32)
+
+        def loss_ref(x, k, b):
+            return jnp.sum(_deconv2x_impl(x, k, b, jnp.float32) * cot)
+
+        def loss_new(x, k, b):
+            return jnp.sum(_deconv2x(x, k, b, jnp.float32) * cot)
+
+        y0 = _deconv2x_impl(x, k, b, jnp.float32)
+        y1 = _deconv2x(x, k, b, jnp.float32)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0))
+
+        g0 = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(x, k, b)
+        g1 = jax.jit(jax.grad(loss_new, argnums=(0, 1, 2)))(x, k, b)
+        for a_, b_, name in zip(g0, g1, ("dx", "dk", "db")):
+            np.testing.assert_allclose(
+                np.asarray(b_), np.asarray(a_), atol=2e-4, rtol=1e-4,
+                err_msg=name)
+
+
 @pytest.mark.slow
 def test_train_step_loss_invariant_to_lane_packing_knobs():
     """The full train step computes the same loss with every lane-packing
