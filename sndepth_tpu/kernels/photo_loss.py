@@ -83,13 +83,14 @@ def _pool3(pbuf, val, h, w):
     return (col[:, 0:w] + col[:, 1:w + 1] + col[:, 2:w + 2]) / 9.0
 
 
-# Pool backend for the pair/fused kernels: "shift" (VPU separable
-# shifts, default), "row" (vertical by sublane shifts + horizontal by a
-# banded matmul on the otherwise-idle MXU — lane shifts are the pricey
-# half on TPU), "mxu" (both dims as banded matmuls). All exact: the
-# banded matrices are 0/1 tridiagonals, so the matmul IS the 3-tap sum
-# in f32. A/B on real TPU before changing the default.
-_POOL = os.environ.get("SNDEPTH_PHOTO_POOL", "shift")
+# Pool backend for the pair/fused kernels: "row" (vertical by sublane
+# shifts + horizontal 3-tap by a banded matmul on the otherwise-idle
+# MXU — lane shifts are the pricey half on TPU; DEFAULT, A/B'd
+# 2353->2407 f/s on the portrait scale-0 kernel), "shift" (VPU
+# separable shifts), "mxu" (both dims as banded matmuls; measured
+# slower than row). All exact: the banded matrices are 0/1 tridiagonals,
+# so the matmul IS the 3-tap sum in f32.
+_POOL = os.environ.get("SNDEPTH_PHOTO_POOL", "row")
 
 
 def _tridiag(n: int, shift: int = 0):

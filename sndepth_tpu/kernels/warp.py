@@ -70,6 +70,14 @@ _TPS = 8              # (8,128) tiles processed per grid step (amortizes
                       # its own dynamic span so locality is preserved)
 _TILE = _LANE * _SUB  # output pixels per tile
 
+# x1 lane gathers via a static roll of the row table: x1i = x0i + 1
+# everywhere except the clip-collapsed borders (select) — and the
+# mod-128 lane index makes the +1 wrap EXACTLY the chunk-crossing case,
+# so take_along(roll(table, -1), r0) == take_along(table, r1) on every
+# non-collapsed lane. Halves the dynamic lane gathers per row table.
+# "1" on, "0" off; A/B on real TPU before flipping the default.
+_X1ROLL = os.environ.get("SNDEPTH_WARP_X1ROLL", "0") == "1"
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -404,6 +412,15 @@ def _warp_tile(x, y, img_ref, h, w, nch, mode, save_tangents, store,
         return blocks, chunk_w
 
     zero = jnp.zeros((_SUB, _LANE), jnp.float32)
+    collapse = x1i == x0i                 # clip-collapsed border taps
+
+    def _g1(table, g0):
+        """Lane-gather ``table`` at r1 — via the x1 roll trick when on."""
+        if not _X1ROLL:
+            return jnp.take_along_axis(table, r1, axis=1)
+        rolled = jnp.roll(table, -1, axis=1)
+        return jnp.where(collapse, g0,
+                         jnp.take_along_axis(rolled, r0, axis=1))
 
     def _band_path(cbase, ncw):
         blocks, chunk_w = _preload(cbase, ncw)
@@ -435,11 +452,11 @@ def _warp_tile(x, y, img_ref, h, w, nch, mode, save_tangents, store,
                                                 subs[k], axis=0), u)
                     rows.append(u)
                 a0 = jnp.take_along_axis(rows[0], r0, axis=1)
-                a1 = jnp.take_along_axis(rows[0], r1, axis=1)
+                a1 = _g1(rows[0], a0)
                 b0 = jnp.take_along_axis(rows[1], r0, axis=1)
-                b1 = jnp.take_along_axis(rows[1], r1, axis=1)
+                b1 = _g1(rows[1], b0)
                 c0 = jnp.take_along_axis(rows[2], r0, axis=1)
-                c1 = jnp.take_along_axis(rows[2], r1, axis=1)
+                c1 = _g1(rows[2], c0)
                 g00 = a0 + m0b * (b0 - a0)
                 g01 = a1 + m0b * (b1 - a1)
                 g10 = a0 + m1b * (b0 - a0) + m1c * (c0 - a0)
@@ -487,9 +504,9 @@ def _warp_tile(x, y, img_ref, h, w, nch, mode, save_tangents, store,
                                                 subs[k], axis=0), u)
                     rows.append(u)
                 a0 = jnp.take_along_axis(rows[0], r0, axis=1)
-                a1 = jnp.take_along_axis(rows[0], r1, axis=1)
+                a1 = _g1(rows[0], a0)
                 b0 = jnp.take_along_axis(rows[1], r0, axis=1)
-                b1 = jnp.take_along_axis(rows[1], r1, axis=1)
+                b1 = _g1(rows[1], b0)
                 g10 = a0 + m1b * (b0 - a0)
                 g11 = a1 + m1b * (b1 - a1)
                 row0 = wx0c * a0 + wx1c * a1
@@ -539,7 +556,7 @@ def _warp_tile(x, y, img_ref, h, w, nch, mode, save_tangents, store,
                             jnp.take_along_axis(blocks[ci, g, ch],
                                                 subs[k], axis=0), u)
                     t0g = jnp.take_along_axis(u, r0, axis=1)
-                    t1g = jnp.take_along_axis(u, r1, axis=1)
+                    t1g = _g1(u, t0g)
                     a_k = wx0c * t0g + wx1c * t1g
                     accs[ch] = accs[ch] + wk[k] * a_k
                     if save_tangents:

@@ -29,6 +29,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from sndepth_tpu.ops.norm import BlockedGroupNorm
 from sndepth_tpu.ops.resize import resize_bilinear_align_corners
 
 Array = jax.Array
@@ -181,10 +182,15 @@ class UpSampleBlock(nn.Module):
     def __call__(self, x: Array, skip: Array, train: bool = False) -> Array:
         up = resize_bilinear_align_corners(x, skip.shape[1], skip.shape[2])
         h = jnp.concatenate([up, skip.astype(up.dtype)], axis=-1)
-        for _ in range(2):
+        for i in range(2):
             if self.architecture == "GN":
                 h = WSConv(self.features, dtype=self.dtype)(h)
-                h = nn.GroupNorm(num_groups=8, dtype=self.dtype)(h)
+                # BlockedGroupNorm == nn.GroupNorm (tests/test_norm.py)
+                # without the 5D activation view that relayouts the whole
+                # tensor when C//g isn't a lane multiple (C=128, g=8 ->
+                # 16-lane reduces). Scope name pinned for checkpoints.
+                h = BlockedGroupNorm(num_groups=8, dtype=self.dtype,
+                                     name=f"GroupNorm_{i}")(h)
             else:
                 h = nn.Conv(self.features, (3, 3), padding="SAME",
                             dtype=self.dtype)(h)

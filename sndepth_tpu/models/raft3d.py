@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from sndepth_tpu.ops import se3
+from sndepth_tpu.ops.norm import BlockedGroupNorm
 from sndepth_tpu.ops import projective as pops
 from sndepth_tpu.ops.patches import extract_patches
 from sndepth_tpu.ops.warp import bilinear_sampler_zero_pad
@@ -74,10 +75,13 @@ class _ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         def norm():
-            # instance norm; eps matches torch InstanceNorm2d (1e-5)
-            return nn.GroupNorm(num_groups=None, group_size=1,
-                                use_bias=False, use_scale=False,
-                                epsilon=1e-5, dtype=self.dtype)
+            # instance norm; eps matches torch InstanceNorm2d (1e-5).
+            # BlockedGroupNorm == nn.GroupNorm without the 5D activation
+            # view (group_size=1 makes C//g = 1 lane — worst case); no
+            # params, so scope naming is irrelevant.
+            return BlockedGroupNorm(num_groups=None, group_size=1,
+                                    use_bias=False, use_scale=False,
+                                    epsilon=1e-5, dtype=self.dtype)
 
         # explicit torch-style padding: flax SAME pads stride-2 convs
         # asymmetrically, breaking checkpoint parity (CLAUDE.md rule)
@@ -104,9 +108,9 @@ class BasicEncoder(nn.Module):
         x = x.astype(self.dtype)
         h = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     dtype=self.dtype)(x)
-        h = nn.GroupNorm(num_groups=None, group_size=1, use_bias=False,
-                         use_scale=False, epsilon=1e-5,
-                         dtype=self.dtype)(h)
+        h = BlockedGroupNorm(num_groups=None, group_size=1,
+                             use_bias=False, use_scale=False,
+                             epsilon=1e-5, dtype=self.dtype)(h)
         h = nn.relu(h)
         for features, stride in ((64, 1), (96, 2), (128, 2)):
             h = _ResBlock(features, stride, self.dtype)(h)

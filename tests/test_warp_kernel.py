@@ -7,6 +7,7 @@ grid_sample semantics — for values and coordinate/image gradients.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -312,3 +313,18 @@ def test_tile_meta_mono_matches_block_oracle():
             assert (m_mono[1, :, 0] == 2).any(), mode
     finally:
         wk._META_FORM = orig
+
+
+@pytest.mark.parametrize("case", ["band2fast", "bandk", "random"])
+def test_kernel_x1roll_matches(case, monkeypatch):
+    """The x1 roll-trick (take_along(roll(table,-1), r0) + collapse
+    select) must be path-for-path identical to the r1 gather — including
+    the chunk-crossing wrap and the clip-collapsed borders."""
+    import sndepth_tpu.kernels.warp as wk
+    monkeypatch.setattr(wk, "_X1ROLL", True)
+    if case == "band2fast":
+        test_kernel_band2_fast_path_matches()
+    elif case == "bandk":
+        test_kernel_bandk_path_matches()
+    else:
+        test_kernel_matches_both_modes_random_coords()
