@@ -227,6 +227,57 @@ def pool_fmap_pyramid(fmap2: Array, num_levels: int = 4) -> list[Array]:
     return out
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _slab_gather(vf: Array, starts: Array, slab: int) -> Array:
+    """Batched contiguous-slab gather: vf (B, NR, C), starts (B, K) flat
+    row-major positions -> (B, K, slab, C), rows [s, s+slab) per start
+    (mode="clip", matching the in-bounds-by-construction pad math).
+
+    Custom VJP: XLA's transpose of this gather is a serial scatter-add
+    while-loop over every (start, j) pair — measured at ~400 ms/step of
+    the RAFT3D training backward (53k ~1 us trips per level x 12
+    iterations). The hand-formed adjoint computes the same segment-sum
+    as ONE one-hot matmul per level (dvf[r] = sum_j P[r-j, j] with
+    P = onehot(starts) @ dpatches) — MXU work + a few shifted adds.
+    Grad-parity-tested vs the XLA transpose."""
+    c = vf.shape[-1]
+
+    def gather_one(vf_b, st_b):
+        return jax.lax.gather(
+            vf_b, st_b.reshape(-1, 1),
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1, 2), collapsed_slice_dims=(),
+                start_index_map=(0,)),
+            slice_sizes=(slab, c), mode="clip")
+
+    return jax.vmap(gather_one)(vf, starts)
+
+
+def _slab_gather_fwd(vf, starts, slab):
+    return _slab_gather(vf, starts, slab), (vf.shape, starts)
+
+
+def _slab_gather_bwd(slab, res, dpatches):
+    (b, nr, c), starts = res
+    k = starts.shape[1]
+    s = jnp.clip(starts, 0, nr - slab)                     # gather's clip
+    onehot = (s[:, None, :] ==
+              jax.lax.broadcasted_iota(jnp.int32, (1, nr, 1), 1)
+              ).astype(jnp.float32)                        # (B, NR, K)
+    u = dpatches.reshape(b, k, slab * c).astype(jnp.float32)
+    prod = jnp.einsum("brk,bkm->brm", onehot, u,
+                      preferred_element_type=jnp.float32)
+    prod = prod.reshape(b, nr, slab, c)
+    dvf = prod[:, :, 0]
+    for j in range(1, slab):
+        dvf = dvf + jnp.pad(prod[:, :nr - j, j],
+                            ((0, 0), (j, 0), (0, 0)))
+    return dvf.astype(jnp.float32), None
+
+
+_slab_gather.defvjp(_slab_gather_fwd, _slab_gather_bwd)
+
+
 def corr_lookup_dot(fmap1: Array, f2_pyramid: list[Array], coords: Array,
                     radius: int = 3) -> Array:
     """Streaming correlation lookup: never materializes the (N, N) volume.
@@ -283,15 +334,7 @@ def corr_lookup_dot(fmap1: Array, f2_pyramid: list[Array], coords: Array,
         rows = y0i[..., None] + jnp.arange(-radius, radius + 2)
         starts = (rows + pad) * w2p + (x0i[..., None] - radius + pad)
 
-        def gather_one(vf_b, st_b):
-            return jax.lax.gather(
-                vf_b, st_b.reshape(-1, 1),
-                jax.lax.GatherDimensionNumbers(
-                    offset_dims=(1, 2), collapsed_slice_dims=(),
-                    start_index_map=(0,)),
-                slice_sizes=(win + 1, c), mode="clip")
-
-        patches = jax.vmap(gather_one)(vf, starts)
+        patches = _slab_gather(vf, starts.reshape(b, -1), win + 1)
         patches = patches.reshape(b, n, win + 1, win + 1, c)
         s = jnp.einsum("bnyxc,bnc->bnyx", patches, q,
                        preferred_element_type=jnp.float32)
