@@ -397,7 +397,11 @@ def _deconv2x_bwd(dtype, res, dy):
     dk = jnp.stack([
         jnp.stack([dk2[du, dv, :, au, cv, :] for (dv, cv) in um], axis=0)
         for (du, au) in um], axis=0)
-    db = jnp.sum(dy, axis=(0, 1, 2), dtype=jnp.float32)
+    # Bias grad from dy2 (not dy): both wgrad and db then read the same
+    # tensor, so XLA fuses the reduce into the dy2 producer instead of
+    # a second full-resolution pass over dy.
+    db = jnp.sum(dy2.reshape(n, h2 // 2, w2 // 2, 4, co),
+                 axis=(0, 1, 2, 3), dtype=jnp.float32)
     return dx, dk.astype(k.dtype), db.astype(jnp.float32)
 
 
