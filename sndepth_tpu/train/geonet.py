@@ -224,14 +224,28 @@ def geonet_loss(params: dict, batch: dict, config: GeoNetConfig
             loss_rigid_warp += (cfg.loss_weight_rigid_warp * ns / 2.0 *
                                 pair_sum / denom)
         else:
+            # Stage-2 scale 0: only the FORWARD warp/error feed FlowNet,
+            # so the backward direction still takes the fused kernel.
             fwd_warp = flow_warp(src_s, fwd_flow)
-            bwd_warp = flow_warp(tgt_s, bwd_flow)
-
             fwd_err = image_similarity(cfg.simi_alpha, tgt_s, fwd_warp)
-            bwd_err = image_similarity(cfg.simi_alpha, src_s, bwd_warp)
+            if photo_loss.fused_ok(tgt_s):
+                hs, ws = tgt_s.shape[1], tgt_s.shape[2]
+                gx = jnp.arange(ws, dtype=jnp.float32)
+                gy = jnp.arange(hs, dtype=jnp.float32)
+                grid = jnp.stack(
+                    [jnp.broadcast_to(gx[None, :], (hs, ws)),
+                     jnp.broadcast_to(gy[:, None], (hs, ws))],
+                    axis=-1)[None]
+                bwd_mean = photo_loss.warp_photo_loss(
+                    src_s, tgt_s, grid + bwd_flow,
+                    cfg.simi_alpha) / float(np.prod(tgt_s.shape))
+            else:
+                bwd_warp = flow_warp(tgt_s, bwd_flow)
+                bwd_mean = jnp.mean(
+                    image_similarity(cfg.simi_alpha, src_s, bwd_warp))
 
             loss_rigid_warp += (cfg.loss_weight_rigid_warp * ns / 2.0 *
-                                (jnp.mean(fwd_err) + jnp.mean(bwd_err)))
+                                (jnp.mean(fwd_err) + bwd_mean))
             fwd_warps.append(fwd_warp)
             fwd_errs.append(fwd_err)
 
