@@ -21,6 +21,7 @@ and is forced by fetching the final loss scalar to host. Honest profile
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -84,7 +85,7 @@ def main() -> None:
     from sndepth_tpu.core.config import GeoNetConfig
 
     data_parallel = "--data_parallel" in sys.argv
-    batch = 128
+    batch = int(os.environ.get("SNDEPTH_BENCH_BATCH", "128"))
     rng = np.random.RandomState(0)
     base = GeoNetConfig(batch_size=batch, compute_dtype=jnp.bfloat16)
     h, w = base.img_height, base.img_width
