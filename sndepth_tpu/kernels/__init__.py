@@ -37,14 +37,36 @@ Landed since (round 2):
   loss, so the VJP is a scalar multiply).
 * ``smooth_loss`` — edge-aware smoothness + depth gradient, same trick.
 
+Landed since (round 3):
+* ``photo_loss`` pair kernel — both loss directions x all sources per
+  image in one VMEM pass; per-pixel weighted variant fuses stage-2's
+  masked full-flow losses (weights ride the cotangent mask); PORTRAIT
+  dispatch (transpose planes + swap coords when width is lane-ragged but
+  height lane-exact — KITTI 128x416 -> zero padded lanes, single-chunk
+  x-windows); 3x3 pools with the lane-dim 3-tap as a tridiagonal-band
+  matmul on the otherwise-idle MXU (SNDEPTH_PHOTO_POOL=row, default).
+  bench progression 2000 -> 2072 -> 2276 -> 2353 (portrait) -> 2411
+  (row pools + deconv custom VJP).
+* Adjoint de-serializations OUTSIDE Pallas (found via tools/dump_hlo.py
+  + tools/line_attrib.py): grad-of-slab-gather as a one-hot matmul
+  (models/raft3d.py:_slab_gather — XLA's transpose was a serial
+  scatter-add while-loop, >half of the RAFT3D train step); deconv
+  backward closed forms (models/dispnet.py:_deconv2x — XLA's was a
+  full-res dy reverse + the worst-laned wgrads).
+
 Roadmap:
 * Pallas conv: largely OBSOLETED at the XLA level — the planned
   "4-output-pixel lane packing" is exactly a 2x2 space-to-depth fold,
   now done as exact XLA rewrites with custom lane-packed VJPs
   (models/dispnet.py: _S2DConv w/ per-shape fold factor {1,2,4},
   _PackedDGradDownConv, s2d_iconv_levels; FLOP census in
-  _scratch_flops_census.py). Revisit Pallas only if the post-s2d trace
-  still shows conv far under the MXU roofline.
+  _scratch_flops_census.py). The round-3 A/B sweep confirmed every
+  extra packing knob (s2d_up, mat_heads, iconv s2d, pdg) LOSES on real
+  TPU vs the default; conv forward sits near census SOL.
+* Negative results (measured, do not retry blindly): x1 lane gathers
+  via static roll of the row table (SNDEPTH_WARP_X1ROLL) -1.4%;
+  both-dims MXU pools < row pools; portrait is REQUIRED for row pools
+  to win.
 * UniAD deformable gather kernel: still an option, not a need
   (0.6-0.7 ms/frame measured with trained-like offsets).
 """
