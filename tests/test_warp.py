@@ -85,3 +85,15 @@ def test_flow_warp_integer_shift():
     want = np.zeros_like(img)
     want[0, 1, 1, 0] = 1.0
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_pallas_gate_excludes_many_channel_feature_maps():
+    """Feature-map warps (e.g. DCNv2 at 256 ch) must stay on XLA: the
+    kernel's per-step output blocks scale with nch and blew the scoped
+    VMEM stack at UniAD reference scale."""
+    import numpy as np
+    from sndepth_tpu.ops import warp as W
+    imgs = jnp.zeros((1, 64, 64, 256))
+    coords = jnp.zeros((1, 64, 64, 2))
+    assert not W._use_pallas(imgs, coords)
+    assert W._use_pallas(jnp.zeros((1, 64, 64, 3)), coords) in (True, False)
