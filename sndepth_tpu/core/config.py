@@ -62,6 +62,9 @@ class GeoNetConfig:
     # DispNetS decoder up-conv indices evaluated in s2d (2x2-conv +
     # depth-to-space) form (see models/dispnet._S2DUpConv2x).
     dispnet_s2d_up_levels: tuple = ()
+    # DispNetS decoder iconv indices whose WEIGHT grad only is folded
+    # (see models/dispnet._WgradS2DConv).
+    dispnet_wgrad_s2d_iconv_levels: tuple = ()
     # Disparity heads in s2d form (see models/dispnet.DispNetS.s2d_heads).
     dispnet_s2d_heads: bool = False
     # Disparity heads as tap-stacked matmul + shift-add (takes precedence

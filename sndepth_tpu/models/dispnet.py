@@ -462,6 +462,65 @@ class _S2DUpConv2x(nn.Module):
         return _depth_to_space(y)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _wgrad_s2d_conv(x: Array, w: Array, bias: Array, dtype: Any) -> Array:
+    """'same' KxK stride-1 conv with direct forward and data-grad, but
+    the WEIGHT grad evaluated through the f=2 folded form: the direct
+    wgrad of a small-Cout conv is the worst-laned fusion family of the
+    train step ([3,3,17,16] at ~2 TF/s — 4.07 ms of the geonet trace);
+    the folded wgrad has f^2*Cout output lanes. fwd/dgrad stay direct
+    (the full-layer s2d forms A/B'd negative — this pays the fold cost
+    only where the direct form is pathological)."""
+    p = (w.shape[0] - 1) // 2
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), w.astype(dtype), (1, 1), ((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + bias.astype(dtype)
+
+
+def _wgrad_s2d_conv_fwd(x, w, bias, dtype):
+    return _wgrad_s2d_conv(x, w, bias, dtype), (x, w)
+
+
+def _wgrad_s2d_conv_bwd(dtype, res, dy):
+    x, w = res
+    p = (w.shape[0] - 1) // 2
+    wt = jnp.flip(w, (0, 1)).swapaxes(2, 3)
+    dx = jax.lax.conv_general_dilated(
+        dy, wt.astype(dtype), (1, 1), ((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(x.dtype)
+    dy_p = _s2d_f(dy, 2)
+    dw = jax.vjp(lambda wv: _fold_conv(x, wv, dtype, 2), w)[1](dy_p)[0]
+    db = jnp.sum(dy, axis=(0, 1, 2), dtype=jnp.float32)
+    return dx, dw, db.astype(jnp.float32)
+
+
+_wgrad_s2d_conv.defvjp(_wgrad_s2d_conv_fwd, _wgrad_s2d_conv_bwd)
+
+
+class _WgradS2DConv(nn.Module):
+    """nn.Conv(features, (K, K), 'SAME') with the folded weight-grad;
+    identical param tree ('kernel' + 'bias')."""
+    features: int
+    kernel: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c_in = x.shape[-1]
+        w = self.param("kernel", _xavier,
+                       (self.kernel, self.kernel, c_in, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if x.shape[1] % 2 or x.shape[2] % 2:
+            p = (self.kernel - 1) // 2
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), w.astype(self.dtype), (1, 1),
+                ((p, p), (p, p)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y + bias.astype(self.dtype)
+        return _wgrad_s2d_conv(x, w, bias, self.dtype)
+
+
 class _UpConv(nn.Module):
     features: int
     dtype: Any
@@ -478,6 +537,7 @@ class _IConv(nn.Module):
     features: int
     dtype: Any
     s2d: bool = False
+    wgrad_s2d: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -485,6 +545,9 @@ class _IConv(nn.Module):
             # Same params/name as the nn.Conv branch (checkpoint-exact);
             # stride-1 3x3 'SAME' == symmetric pad 1, which _S2DConv uses.
             x = _S2DConv(self.features, 3, self.dtype, name="Conv_0")(x)
+        elif self.wgrad_s2d:
+            x = _WgradS2DConv(self.features, 3, self.dtype,
+                              name="Conv_0")(x)
         else:
             x = nn.Conv(self.features, (3, 3), padding="SAME",
                         dtype=self.dtype, kernel_init=_xavier)(x)
@@ -575,6 +638,11 @@ class DispNetS(nn.Module):
     # Disparity heads as tap-stacked matmul + shift-add (_TapStackHeadConv;
     # takes precedence over s2d_heads). Default off until A/B'd on TPU.
     mat_heads: bool = False
+    # Decoder iconv indices whose WEIGHT grad (only) is computed through
+    # the f=2 folded form (_WgradS2DConv): fwd/dgrad stay direct. The
+    # direct wgrads of i1/i2 are the worst-laned fusions of the train
+    # step. Default off until A/B'd on TPU.
+    wgrad_s2d_iconv_levels: Sequence[int] = ()
 
     @nn.compact
     def __call__(self, x: Array) -> tuple[Array, Array, Array, Array]:
@@ -617,47 +685,48 @@ class DispNetS(nn.Module):
             return self.alpha * nn.sigmoid(d.astype(jnp.float32)) + self.beta
 
         s2d_i = self.s2d_iconv_levels
+        wg_i = self.wgrad_s2d_iconv_levels
 
         u7 = _crop_like(_UpConv(dp[0], self.dtype,
                                 0 in self.s2d_up_levels)(c7), c6)
         i7 = _IConv(dp[0], self.dtype,
-                    0 in s2d_i)(jnp.concatenate([u7, c6], -1))
+                    0 in s2d_i, 0 in wg_i)(jnp.concatenate([u7, c6], -1))
 
         u6 = _crop_like(_UpConv(dp[1], self.dtype,
                                 1 in self.s2d_up_levels)(i7), c5)
         i6 = _IConv(dp[1], self.dtype,
-                    1 in s2d_i)(jnp.concatenate([u6, c5], -1))
+                    1 in s2d_i, 1 in wg_i)(jnp.concatenate([u6, c5], -1))
 
         u5 = _crop_like(_UpConv(dp[2], self.dtype,
                                 2 in self.s2d_up_levels)(i6), c4)
         i5 = _IConv(dp[2], self.dtype,
-                    2 in s2d_i)(jnp.concatenate([u5, c4], -1))
+                    2 in s2d_i, 2 in wg_i)(jnp.concatenate([u5, c4], -1))
 
         u4 = _crop_like(_UpConv(dp[3], self.dtype,
                                 3 in self.s2d_up_levels)(i5), c3)
         i4 = _IConv(dp[3], self.dtype,
-                    3 in s2d_i)(jnp.concatenate([u4, c3], -1))
+                    3 in s2d_i, 3 in wg_i)(jnp.concatenate([u4, c3], -1))
         disp4 = disp_head(i4)
 
         u3 = _crop_like(_UpConv(dp[4], self.dtype,
                                 4 in self.s2d_up_levels)(i4), c2)
         d4_up = _crop_like(_upsample2x(disp4), c2).astype(self.dtype)
         i3 = _IConv(dp[4], self.dtype,
-                    4 in s2d_i)(jnp.concatenate([u3, c2, d4_up], -1))
+                    4 in s2d_i, 4 in wg_i)(jnp.concatenate([u3, c2, d4_up], -1))
         disp3 = disp_head(i3)
 
         u2 = _crop_like(_UpConv(dp[5], self.dtype,
                                 5 in self.s2d_up_levels)(i3), c1)
         d3_up = _crop_like(_upsample2x(disp3), c1).astype(self.dtype)
         i2 = _IConv(dp[5], self.dtype,
-                    5 in s2d_i)(jnp.concatenate([u2, c1, d3_up], -1))
+                    5 in s2d_i, 5 in wg_i)(jnp.concatenate([u2, c1, d3_up], -1))
         disp2 = disp_head(i2)
 
         u1 = _crop_like(_UpConv(dp[6], self.dtype,
                                 6 in self.s2d_up_levels)(i2), x)
         d2_up = _crop_like(_upsample2x(disp2), x).astype(self.dtype)
         i1 = _IConv(dp[6], self.dtype,
-                    6 in s2d_i)(jnp.concatenate([u1, d2_up], -1))
+                    6 in s2d_i, 6 in wg_i)(jnp.concatenate([u1, d2_up], -1))
         disp1 = disp_head(i1)
 
         return disp1, disp2, disp3, disp4

@@ -50,6 +50,8 @@ def build_models(config: GeoNetConfig) -> tuple[DispNetS, PoseNet]:
                         packed_dgrad_levels=tuple(
                             config.dispnet_packed_dgrad_levels),
                         s2d_up_levels=tuple(config.dispnet_s2d_up_levels),
+                        wgrad_s2d_iconv_levels=tuple(
+                            config.dispnet_wgrad_s2d_iconv_levels),
                         s2d_heads=config.dispnet_s2d_heads,
                         mat_heads=config.dispnet_mat_heads,
                         remat=config.dispnet_remat)

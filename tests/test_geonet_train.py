@@ -333,6 +333,37 @@ def test_s2d_upconv_matches_torch_transpose():
                                    atol=1e-5)
 
 
+def test_wgrad_s2d_conv_matches_direct():
+    """_WgradS2DConv == nn.Conv fwd; dx/dw/db match autodiff of the
+    direct conv (the wgrad is computed through the folded form)."""
+    import flax.linen as nn
+    from sndepth_tpu.models.dispnet import _WgradS2DConv
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 8, 12, 17), jnp.float32)
+    cot = jnp.asarray(rng.randn(2, 8, 12, 16), jnp.float32)
+
+    ref = nn.Conv(16, (3, 3), padding="SAME", dtype=jnp.float32)
+    got = _WgradS2DConv(16, 3, jnp.float32)
+    v = ref.init(jax.random.PRNGKey(0), x)
+
+    y_ref = ref.apply(v, x)
+    y_got = got.apply(v, x)
+    np.testing.assert_allclose(np.asarray(y_got), np.asarray(y_ref),
+                               atol=1e-6)
+
+    def loss(mod):
+        return lambda p, xx: jnp.sum(
+            mod.apply({"params": p}, xx) * cot)
+
+    g_ref = jax.grad(loss(ref), argnums=(0, 1))(v["params"], x)
+    g_got = jax.grad(loss(got), argnums=(0, 1))(v["params"], x)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g_ref),
+                     jax.tree_util.tree_leaves(g_got)):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   atol=2e-5, rtol=1e-5)
+
+
 def test_deconv2x_custom_vjp_matches_autodiff():
     """_deconv2x's hand-formed dx/dk/db == autodiff of the lhs-dilated
     forward (same values, no full-res reverse / lane-starved wgrad)."""
