@@ -33,17 +33,8 @@ from sndepth_tpu.ops.warp import bilinear_sampler_zero_pad
 Array = jax.Array
 
 
-def ms_deformable_attention(value: Array, spatial_shapes: Sequence[tuple],
-                            sampling_locations: Array,
-                            attention_weights: Array) -> Array:
-    """Core sampling op.
-
-    value: (B, num_keys, heads, head_dim) — levels concatenated along keys;
-    spatial_shapes: static list of (h, w) per level;
-    sampling_locations: (B, nq, heads, L, P, 2) in [0, 1];
-    attention_weights: (B, nq, heads, L, P).
-    Returns (B, nq, heads * head_dim).
-    """
+def _msda_core(value, spatial_shapes, sampling_locations,
+               attention_weights):
     b, _, heads, dim = value.shape
     _, nq, _, L, P, _ = sampling_locations.shape
 
@@ -66,6 +57,45 @@ def ms_deformable_attention(value: Array, spatial_shapes: Sequence[tuple],
 
     out = sum(outputs).reshape(b, heads, nq, dim)
     return out.transpose(0, 2, 1, 3).reshape(b, nq, heads * dim)
+
+
+# Query count above which the sampling runs in chunks: the XLA tap
+# gathers materialize (B*heads*nq*P, head_dim) rows padded 4x on the
+# 32-element minor dim — at UniAD reference scale (40k BEV queries)
+# that is 4 x 7.3 GB live at once, which alone OOMs a 16 GB chip
+# (measured compile OOM breakdown). Chunked under lax.map the peak
+# scales with the chunk; values are exact (the op is per-query).
+_Q_CHUNK_THRESHOLD = 16384
+_Q_CHUNK_TARGET = 8192
+
+
+def ms_deformable_attention(value: Array, spatial_shapes: Sequence[tuple],
+                            sampling_locations: Array,
+                            attention_weights: Array) -> Array:
+    """Core sampling op.
+
+    value: (B, num_keys, heads, head_dim) — levels concatenated along keys;
+    spatial_shapes: static list of (h, w) per level;
+    sampling_locations: (B, nq, heads, L, P, 2) in [0, 1];
+    attention_weights: (B, nq, heads, L, P).
+    Returns (B, nq, heads * head_dim).
+    """
+    nq = sampling_locations.shape[1]
+    nchunks = -(-nq // _Q_CHUNK_TARGET)
+    if nq >= _Q_CHUNK_THRESHOLD and nchunks > 1 and nq % nchunks == 0:
+        qc = nq // nchunks
+        b = sampling_locations.shape[0]
+
+        def split(x):
+            xc = x.reshape((b, nchunks, qc) + x.shape[2:])
+            return jnp.moveaxis(xc, 1, 0)                  # chunk-major
+
+        out = jax.lax.map(
+            lambda args: _msda_core(value, spatial_shapes, *args),
+            (split(sampling_locations), split(attention_weights)))
+        return jnp.moveaxis(out, 0, 1).reshape(b, nq, -1)
+    return _msda_core(value, spatial_shapes, sampling_locations,
+                      attention_weights)
 
 
 class DeformConv2d(nn.Module):
