@@ -45,14 +45,16 @@ def _use_pallas(imgs: Array, coords: Array) -> bool:
     # the RAFT3D 49-tap correlation windows) or oversized planes fall back
     # to the XLA gather. Channel gate: the kernel's per-grid-step output
     # blocks are (nch, 64, 128) f32 x up-to-3 (tangents) x double-buffer;
-    # many-channel FEATURE-map warps (DCNv2 at 256 ch blew the 16MB
-    # scoped-VMEM stack at UniAD reference scale) stay on XLA, which is
-    # fine there — image/flow warps (<= ~8 ch) are the hot cases.
+    # many-channel FEATURE-map warps (DCNv2 at 256 ch = 48MB blew the
+    # 16MB scoped-VMEM stack at UniAD reference scale) stay on XLA. 32
+    # channels (deformable-attention head_dim — load-bearing: without
+    # the kernel the reference-scale BEV encoder runs at XLA's ~72M
+    # gather-rows/s, ~46 s/frame) is ~6MB of out blocks and fine.
     npix = coords.shape[1] * coords.shape[2]
     plane_bytes = (imgs.shape[1] * ((imgs.shape[2] + 127) // 128 * 128)
                    * imgs.shape[3] * 4)
     return (npix >= 512 and plane_bytes <= 6 * 1024 * 1024
-            and imgs.shape[3] <= 8)
+            and imgs.shape[3] <= 32)
 
 
 def bilinear_sampler(imgs: Array, coords: Array) -> Array:

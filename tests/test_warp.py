@@ -96,4 +96,8 @@ def test_pallas_gate_excludes_many_channel_feature_maps():
     imgs = jnp.zeros((1, 64, 64, 256))
     coords = jnp.zeros((1, 64, 64, 2))
     assert not W._use_pallas(imgs, coords)
-    assert W._use_pallas(jnp.zeros((1, 64, 64, 3)), coords) in (True, False)
+    # 32-channel (deformable-attention head_dim) must NOT be excluded:
+    # its pallas path is load-bearing at UniAD reference scale.
+    import jax
+    if jax.default_backend() in ("tpu", "axon"):
+        assert W._use_pallas(jnp.zeros((1, 64, 64, 32)), coords)
