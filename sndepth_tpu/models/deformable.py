@@ -82,18 +82,26 @@ def ms_deformable_attention(value: Array, spatial_shapes: Sequence[tuple],
     """
     nq = sampling_locations.shape[1]
     nchunks = -(-nq // _Q_CHUNK_TARGET)
-    if nq >= _Q_CHUNK_THRESHOLD and nchunks > 1 and nq % nchunks == 0:
-        qc = nq // nchunks
+    if nq >= _Q_CHUNK_THRESHOLD and nchunks > 1:
+        # Pad the query axis up to a chunk multiple so the OOM guard is
+        # not shape-dependent (padded queries carry zero attention
+        # weight and are sliced away below).
+        qc = -(-nq // nchunks)
+        pad = nchunks * qc - nq
         b = sampling_locations.shape[0]
 
         def split(x):
+            if pad:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((b, pad) + x.shape[2:], x.dtype)], axis=1)
             xc = x.reshape((b, nchunks, qc) + x.shape[2:])
             return jnp.moveaxis(xc, 1, 0)                  # chunk-major
 
         out = jax.lax.map(
             lambda args: _msda_core(value, spatial_shapes, *args),
             (split(sampling_locations), split(attention_weights)))
-        return jnp.moveaxis(out, 0, 1).reshape(b, nq, -1)
+        out = jnp.moveaxis(out, 0, 1).reshape(b, nchunks * qc, -1)
+        return out[:, :nq]
     return _msda_core(value, spatial_shapes, sampling_locations,
                       attention_weights)
 

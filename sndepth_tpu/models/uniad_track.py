@@ -11,8 +11,11 @@ The reference's per-frame python state (``self.prev_bev``,
 threaded through :meth:`simple_test_track` — the whole per-frame step is
 one jittable function, scannable over a video.
 
-Divergences (documented): the DCNv2 stages of the reference backbone use
-standard convs here; per-camera dynamic rebatching is dense masked compute.
+Divergences (documented): per-camera dynamic rebatching is dense masked
+compute. The backbone's DCNv2 stages follow the reference stage plan
+(`stage_with_dcn=(False, False, True, True)`, `track_uniad.py:962-966`) via
+``models/deformable.py:DeformConv2d`` when ``use_dcn=True`` (the reference
+default, see :func:`uniad_reference_config`).
 """
 
 from __future__ import annotations

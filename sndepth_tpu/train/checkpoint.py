@@ -9,6 +9,7 @@ bit-exact.
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Any
 
@@ -109,8 +110,12 @@ def restore_params_or_state(ckpt_dir: str, state: Any,
     reference ``.pth``."""
     try:
         return restore_checkpoint(ckpt_dir, state, step)
-    except Exception:
-        pass
+    except FileNotFoundError:
+        raise
+    except Exception as exc:  # orbax raises ValueError/KeyError families
+        full_state_err = exc
+        logging.info("full-state restore failed (%s: %s); trying "
+                     "params-only fallback", type(exc).__name__, exc)
 
     is_obj = hasattr(state, "params")
     params_tpl = state.params if is_obj else state["params"]
@@ -133,9 +138,19 @@ def restore_params_or_state(ckpt_dir: str, state: Any,
                 ckpt_dir, {"params": params_tpl, "batch_stats": bs_tpl},
                 step)
             return graft(both["params"], both["batch_stats"])
-        except Exception:
-            pass
-    params = restore_checkpoint(ckpt_dir, params_tpl, step)
+        except Exception as exc:
+            logging.info("params+batch_stats restore failed (%s: %s); "
+                         "trying params-only", type(exc).__name__, exc)
+    try:
+        params = restore_checkpoint(ckpt_dir, params_tpl, step)
+    except Exception as exc:
+        # Surface the ORIGINAL full-state failure too — a genuinely
+        # corrupt training checkpoint otherwise shows up as a confusing
+        # params-template structure mismatch.
+        raise RuntimeError(
+            f"checkpoint at {ckpt_dir!r} matched neither the train-state "
+            f"template (first error: {type(full_state_err).__name__}: "
+            f"{full_state_err}) nor a params-only layout") from exc
     return graft(params)
 
 
