@@ -78,6 +78,39 @@ _TILE = _LANE * _SUB  # output pixels per tile
 # "1" on, "0" off; A/B on real TPU before flipping the default.
 _X1ROLL = os.environ.get("SNDEPTH_WARP_X1ROLL", "0") == "1"
 
+# Lane-gather packing: the fully-varying take_along_axis lane gathers
+# dominate the warp tile (photo_bench r4: stubbing the warp removed 41 of
+# the pair kernel's 46.6 ms while stubbing the DSSIM pools removed ~0).
+# "pack" fetches CONSECUTIVE ROW TABLES as (bf16,bf16) pairs packed into
+# one int32 lane, so one gather serves both row taps — halving the lane
+# takes at the cost of bf16-rounding the gathered image values (weights
+# and all downstream math stay f32; max value error 2^-8 relative).
+# "exact" (default) keeps full-f32 gathers. A/B via bench.py.
+_GATHER = os.environ.get("SNDEPTH_WARP_GATHER", "exact")
+
+_MASK_HI = -65536                      # 0xFFFF0000 as int32
+
+
+def _pack2(a, b):
+    """Two f32 planes -> one int32 plane: bf16(a) in the high half,
+    bf16(b) in the low half (round-to-nearest-even in integer math —
+    Mosaic-safe, no 16-bit dtypes involved)."""
+    ia = jax.lax.bitcast_convert_type(a, jnp.int32)
+    ib = jax.lax.bitcast_convert_type(b, jnp.int32)
+
+    def rne(u):
+        lsb = jax.lax.shift_right_logical(u, 16) & 1
+        return (u + 0x7FFF + lsb) & _MASK_HI
+
+    return rne(ia) | jax.lax.shift_right_logical(rne(ib), 16)
+
+
+def _unpack2(p):
+    """Inverse of :func:`_pack2` -> (a_bf16_as_f32, b_bf16_as_f32)."""
+    a = jax.lax.bitcast_convert_type(p & _MASK_HI, jnp.float32)
+    b = jax.lax.bitcast_convert_type(p << 16, jnp.float32)
+    return a, b
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -422,6 +455,29 @@ def _warp_tile(x, y, img_ref, h, w, nch, mode, save_tangents, store,
         return jnp.where(collapse, g0,
                          jnp.take_along_axis(rolled, r0, axis=1))
 
+    def _taps(tables):
+        """[(T[r0], T[r1])] per row table. ``pack`` gather mode fetches
+        pairs of tables through one packed-bf16 int32 gather per tap
+        (module doc at :data:`_GATHER`), halving the lane takes."""
+        if _GATHER != "pack":
+            out = []
+            for T in tables:
+                t0 = jnp.take_along_axis(T, r0, axis=1)
+                out.append((t0, _g1(T, t0)))
+            return out
+        out = [None] * len(tables)
+        for i in range(0, len(tables) - 1, 2):
+            P = _pack2(tables[i], tables[i + 1])
+            a0, b0 = _unpack2(jnp.take_along_axis(P, r0, axis=1))
+            a1, b1 = _unpack2(jnp.take_along_axis(P, r1, axis=1))
+            out[i] = (a0, a1)
+            out[i + 1] = (b0, b1)
+        if len(tables) % 2:
+            T = tables[-1]
+            out[-1] = (jnp.take_along_axis(T, r0, axis=1),
+                       jnp.take_along_axis(T, r1, axis=1))
+        return out
+
     def _band_path(cbase, ncw):
         blocks, chunk_w = _preload(cbase, ncw)
         # Lane-uniform sublane-gather indices for rows ybar+k (k=0,1,2).
@@ -451,12 +507,7 @@ def _warp_tile(x, y, img_ref, h, w, nch, mode, save_tangents, store,
                             jnp.take_along_axis(blocks[ci, g, ch],
                                                 subs[k], axis=0), u)
                     rows.append(u)
-                a0 = jnp.take_along_axis(rows[0], r0, axis=1)
-                a1 = _g1(rows[0], a0)
-                b0 = jnp.take_along_axis(rows[1], r0, axis=1)
-                b1 = _g1(rows[1], b0)
-                c0 = jnp.take_along_axis(rows[2], r0, axis=1)
-                c1 = _g1(rows[2], c0)
+                (a0, a1), (b0, b1), (c0, c1) = _taps(rows)
                 g00 = a0 + m0b * (b0 - a0)
                 g01 = a1 + m0b * (b1 - a1)
                 g10 = a0 + m1b * (b0 - a0) + m1c * (c0 - a0)
@@ -503,10 +554,7 @@ def _warp_tile(x, y, img_ref, h, w, nch, mode, save_tangents, store,
                             jnp.take_along_axis(blocks[ci, g, ch],
                                                 subs[k], axis=0), u)
                     rows.append(u)
-                a0 = jnp.take_along_axis(rows[0], r0, axis=1)
-                a1 = _g1(rows[0], a0)
-                b0 = jnp.take_along_axis(rows[1], r0, axis=1)
-                b1 = _g1(rows[1], b0)
+                (a0, a1), (b0, b1) = _taps(rows)
                 g10 = a0 + m1b * (b0 - a0)
                 g11 = a1 + m1b * (b1 - a1)
                 row0 = wx0c * a0 + wx1c * a1
@@ -547,6 +595,7 @@ def _warp_tile(x, y, img_ref, h, w, nch, mode, save_tangents, store,
         for ci in range(ncw):
             wx0c, wx1c, dv0c, dv1c = chunk_w[ci]
             for ch in range(nch):
+                us = []
                 for k in range(_BK):
                     u = jnp.take_along_axis(blocks[ci, 0, ch], subs[k],
                                             axis=0)
@@ -555,8 +604,8 @@ def _warp_tile(x, y, img_ref, h, w, nch, mode, save_tangents, store,
                             gsels[k] == g,
                             jnp.take_along_axis(blocks[ci, g, ch],
                                                 subs[k], axis=0), u)
-                    t0g = jnp.take_along_axis(u, r0, axis=1)
-                    t1g = _g1(u, t0g)
+                    us.append(u)
+                for k, (t0g, t1g) in enumerate(_taps(us)):
                     a_k = wx0c * t0g + wx1c * t1g
                     accs[ch] = accs[ch] + wk[k] * a_k
                     if save_tangents:

@@ -112,6 +112,11 @@ class BEVFormerEncoder(nn.Module):
     num_points_in_pillar: int = 4
     pc_range: Sequence[float] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
     dtype: Any = jnp.float32
+    # Rematerialize each attention/FFN sublayer in the backward pass:
+    # reference-scale training (200x200 BEV = 40k queries, 6 layers, T
+    # frames) otherwise materializes TB-scale deformable-sampling
+    # residuals (measured 2.19 TB single-chip compile demand, BASELINE.md).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, bev_queries: Array, value: Array, lidar2img: Array,
@@ -136,18 +141,36 @@ class BEVFormerEncoder(nn.Module):
         ref_2d = jnp.broadcast_to(
             jnp.stack([xg, yg], -1).reshape(1, nq, 1, 2), (b, nq, 1, 2))
 
+        if self.remat:
+            # nn.remat renames the class ("Checkpoint<cls>"), so pass
+            # explicit names reproducing the unwrapped auto-numbering —
+            # the param tree is then identical with/without remat
+            # (tests/test_uniad_train.py asserts this). spatial_shapes
+            # args are static (hashable shape tuples).
+            TSA = nn.remat(TemporalSelfAttention, static_argnums=(4,))
+            SCA = nn.remat(SpatialCrossAttention, static_argnums=(5,))
+            Ffn = nn.remat(FFN)
+        else:
+            TSA, SCA, Ffn = (TemporalSelfAttention, SpatialCrossAttention,
+                             FFN)
+        # Static (hashable) shape lists for jax.checkpoint's static args.
+        sshapes = tuple((int(h2), int(w2)) for h2, w2 in spatial_shapes)
         bev = bev_queries
-        for _ in range(self.num_layers):
-            bev = TemporalSelfAttention(self.embed_dims, dtype=self.dtype)(
-                bev, prev_bev, ref_2d, [(self.bev_h, self.bev_w)],
-                query_pos=bev_pos)
+        for i in range(self.num_layers):
+            nm = (lambda c, i=i: f"{c}_{i}") if self.remat else \
+                (lambda c: None)
+            bev = TSA(self.embed_dims, dtype=self.dtype,
+                      name=nm("TemporalSelfAttention"))(
+                bev, prev_bev, ref_2d, ((self.bev_h, self.bev_w),),
+                bev_pos)
             bev = nn.LayerNorm(dtype=self.dtype)(bev)
-            bev = SpatialCrossAttention(
+            bev = SCA(
                 self.embed_dims, self.num_cams, self.num_levels,
-                dtype=self.dtype)(bev, value, ref_cam, bev_mask,
-                                  spatial_shapes, query_pos=bev_pos)
+                dtype=self.dtype, name=nm("SpatialCrossAttention"))(
+                    bev, value, ref_cam, bev_mask, sshapes, bev_pos)
             bev = nn.LayerNorm(dtype=self.dtype)(bev)
-            bev = FFN(self.embed_dims, 512, dtype=self.dtype)(bev)
+            bev = Ffn(self.embed_dims, 512, dtype=self.dtype,
+                      name=nm("FFN"))(bev)
             bev = nn.LayerNorm(dtype=self.dtype)(bev)
         return bev
 
@@ -160,6 +183,7 @@ class DetectionTransformerDecoder(nn.Module):
     num_layers: int = 6
     num_heads: int = 8
     dtype: Any = jnp.float32
+    remat: bool = False    # see BEVFormerEncoder.remat
 
     @nn.compact
     def __call__(self, query: Array, bev: Array, reference_points: Array,
@@ -167,6 +191,8 @@ class DetectionTransformerDecoder(nn.Module):
                  reg_branches=None):
         """query: (B, nq, C); bev: (B, bev_h*bev_w, C);
         reference_points: (B, nq, 3) sigmoid-space."""
+        CDA = (nn.remat(CustomMSDeformableAttention, static_argnums=(4,))
+               if self.remat else CustomMSDeformableAttention)
         states = []
         refs = []
         ref = reference_points
@@ -177,10 +203,12 @@ class DetectionTransformerDecoder(nn.Module):
             sa = nn.MultiHeadDotProductAttention(
                 num_heads=self.num_heads, dtype=self.dtype)(q, q, query)
             query = nn.LayerNorm(dtype=self.dtype)(query + sa)
-            query = CustomMSDeformableAttention(
-                self.embed_dims, dtype=self.dtype)(
-                    query, bev, ref[..., :2], [bev_hw],
-                    query_pos=query_pos)
+            query = CDA(
+                self.embed_dims, dtype=self.dtype,
+                name=(f"CustomMSDeformableAttention_{li}" if self.remat
+                      else None))(
+                    query, bev, ref[..., :2],
+                    ((int(bev_hw[0]), int(bev_hw[1])),), query_pos)
             query = nn.LayerNorm(dtype=self.dtype)(query)
             query = FFN(self.embed_dims, 512, dtype=self.dtype)(query)
             query = nn.LayerNorm(dtype=self.dtype)(query)

@@ -65,6 +65,7 @@ class BEVFormerTrackHead(nn.Module):
     past_steps: int = 4
     fut_steps: int = 4
     dtype: Any = jnp.float32
+    remat: bool = False    # see BEVFormerEncoder.remat
 
     def setup(self):
         self.bev_embedding = self.param(
@@ -74,10 +75,10 @@ class BEVFormerTrackHead(nn.Module):
             bev_h=self.bev_h, bev_w=self.bev_w, embed_dims=self.embed_dims,
             num_layers=self.num_encoder_layers, num_cams=self.num_cams,
             num_levels=self.num_levels, pc_range=self.pc_range,
-            dtype=self.dtype)
+            dtype=self.dtype, remat=self.remat)
         self.decoder = DetectionTransformerDecoder(
             embed_dims=self.embed_dims, num_layers=self.num_decoder_layers,
-            dtype=self.dtype)
+            dtype=self.dtype, remat=self.remat)
         # One branch clone per decoder layer (`track_head.py:117-121`).
         n = self.num_decoder_layers
         self.cls_branches = [_Branch(self.num_classes, use_ln=True,

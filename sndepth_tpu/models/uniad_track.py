@@ -202,6 +202,9 @@ class UniADTrack(nn.Module):
     backbone_style: str = "pytorch"
     backbone_norm: str = "gn"
     dtype: Any = jnp.float32
+    # Rematerialize encoder/decoder sublayers in backward (reference-scale
+    # training memory; see bevformer.BEVFormerEncoder.remat).
+    remat: bool = False
 
     def setup(self):
         self.backbone = ResNetFPN(self.backbone_blocks, self.embed_dims,
@@ -213,7 +216,7 @@ class UniADTrack(nn.Module):
             num_classes=self.num_classes, num_query=self.num_query,
             num_encoder_layers=self.encoder_layers,
             num_decoder_layers=self.decoder_layers, num_cams=self.num_cams,
-            pc_range=self.pc_range, dtype=self.dtype)
+            pc_range=self.pc_range, dtype=self.dtype, remat=self.remat)
         self.query_embedding = self.param(
             "query_embedding", nn.initializers.normal(1.0),
             (self.num_query, 2 * self.embed_dims))

@@ -126,6 +126,43 @@ def test_uniad_train_step_descends():
     assert int(state.step) == 6
 
 
+def test_uniad_remat_same_params_and_loss():
+    """remat=True must leave the param tree AND the loss identical (it
+    only changes what the backward stores) — the reference-scale memory
+    path depends on this being a pure no-op on values."""
+    model = _tiny_model()
+    model_r = UniADTrack(
+        num_query=12, num_classes=3, embed_dims=32, bev_h=4, bev_w=4,
+        num_cams=2, encoder_layers=1, decoder_layers=2,
+        backbone_blocks=(1, 1, 1, 1), mem_len=2, remat=True)
+    clip = tu.synthetic_clip(model, t_frames=2, ng=3, img_hw=(64, 64))
+    rng = jax.random.PRNGKey(0)
+    v0 = tu.init_uniad_variables(model, clip, rng)
+    v1 = tu.init_uniad_variables(model_r, clip, rng)
+    assert (jax.tree_util.tree_structure(v0)
+            == jax.tree_util.tree_structure(v1))
+    for a, b in zip(jax.tree_util.tree_leaves(v0),
+                    jax.tree_util.tree_leaves(v1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    qim = jax.random.PRNGKey(7)
+
+    def loss(m, params):
+        return m.apply({"params": params}, clip["imgs_seq"],
+                       clip["lidar2img"], clip["gt"], clip["timestamps"],
+                       method=m.train_clip, rngs={"qim": qim})[0]
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(model, p))(v0["params"])
+    l1, g1 = jax.value_and_grad(lambda p: loss(model_r, p))(v1["params"])
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    flat0 = jnp.concatenate([x.ravel() for x in
+                             jax.tree_util.tree_leaves(g0)])
+    flat1 = jnp.concatenate([x.ravel() for x in
+                             jax.tree_util.tree_leaves(g1)])
+    np.testing.assert_allclose(np.asarray(flat1), np.asarray(flat0),
+                               atol=1e-5)
+
+
 def test_train_uniad_cli_smoke(tmp_path):
     """cli/train_uniad drives the clip-training path end-to-end: losses
     printed (incl. past-traj term), loss decreases, checkpoint lands."""

@@ -315,6 +315,63 @@ def test_tile_meta_mono_matches_block_oracle():
         wk._META_FORM = orig
 
 
+def test_kernel_gather_pack_close_to_exact(monkeypatch):
+    """SNDEPTH_WARP_GATHER=pack (paired-bf16 lane gathers) must match the
+    exact kernel to bf16 value tolerance on every path (the weights stay
+    f32; only gathered image values are rounded)."""
+    import sndepth_tpu.kernels.warp as wk
+    cases = []
+    rng = np.random.RandomState(11)
+    b, h, w, c = 2, 16, 48, 2
+    imgs = jnp.asarray(rng.rand(b, h, w, c), jnp.float32)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    grid = np.stack([xs, ys], -1)[None].repeat(b, 0)
+    cases.append((imgs, jnp.asarray(grid + rng.uniform(-2, 2, grid.shape),
+                                    jnp.float32)))          # band paths
+    cases.append(_rand_case(12))                            # slow path mix
+    for mode in ("edge_zero", "zero_pad"):
+        for imgs_i, coords_i in cases:
+            want = np.asarray(pallas_sampler(imgs_i, coords_i, mode))
+            monkeypatch.setattr(wk, "_GATHER", "pack")
+            got = np.asarray(pallas_sampler(imgs_i, coords_i, mode))
+            monkeypatch.setattr(wk, "_GATHER", "exact")
+            np.testing.assert_allclose(got, want, atol=2 ** -7,
+                                       err_msg=mode)
+
+
+def test_photo_pair_gather_pack_close(monkeypatch):
+    """The pair photo kernel under pack-mode gathers: loss and coord
+    gradients within bf16-image tolerance of the exact kernel."""
+    import sndepth_tpu.kernels.warp as wk
+    import sndepth_tpu.kernels.photo_loss as PL
+    rng = np.random.RandomState(13)
+    b, ns, h, w, c = 1, 2, 16, 48, 3
+    tgt = jnp.asarray(rng.rand(b, h, w, c), jnp.float32)
+    srcs = jnp.asarray(rng.rand(b, ns, h, w, c), jnp.float32)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    grid = np.stack([xs, ys], -1)[None, None].repeat(ns, 1)
+    cf = jnp.asarray(grid + rng.uniform(-2, 2, grid.shape), jnp.float32)
+    cb = jnp.asarray(grid - rng.uniform(-2, 2, grid.shape), jnp.float32)
+
+    def run():
+        return PL._pair_run(tgt, srcs, cf, cb, 0.85, "edge_zero",
+                            need_grad=True)
+
+    loss0, dcf0, dcb0 = run()
+    monkeypatch.setattr(wk, "_GATHER", "pack")
+    loss1, dcf1, dcb1 = run()
+    monkeypatch.setattr(wk, "_GATHER", "exact")
+    npix = b * ns * h * w * c
+    assert abs(float(loss1) - float(loss0)) / npix < 2 ** -7
+    for g1, g0 in ((dcf1, dcf0), (dcb1, dcb0)):
+        d = np.abs(np.asarray(g1) - np.asarray(g0))
+        # bf16 rounding can flip a DSSIM clip-boundary tie on isolated
+        # pixels (gradient jumps by the tie split); bound the bulk
+        # tightly and allow rare boundary flips a wider margin.
+        assert np.percentile(d, 99) < 0.05
+        assert d.max() < 0.5
+
+
 @pytest.mark.parametrize("case", ["band2fast", "bandk", "random"])
 def test_kernel_x1roll_matches(case, monkeypatch):
     """The x1 roll-trick (take_along(roll(table,-1), r0) + collapse
