@@ -73,6 +73,8 @@ def main(argv=None) -> None:
     p.add_argument("--min_depth", default=1e-3, type=float)
     p.add_argument("--max_depth", default=80.0, type=float)
     p.add_argument("--output_dir", default=None)
+    p.add_argument("--metrics_json", default=None,
+                   help="also dump the mean metrics as JSON (one object)")
     args = p.parse_args(argv)
 
     from scipy.ndimage import zoom
@@ -112,6 +114,11 @@ def main(argv=None) -> None:
           "(like the original paper) : ")
     print(("{:>10}, " * 9).format(*ERROR_NAMES).rstrip(", "))
     print(("{:10.4f}, " * 9).format(*mean_errors).rstrip(", "))
+    if args.metrics_json:
+        import json
+        with open(args.metrics_json, "w") as f:
+            json.dump({k: float(v) for k, v in
+                       zip(ERROR_NAMES, mean_errors)}, f, indent=2)
 
     if args.output_dir:
         os.makedirs(args.output_dir, exist_ok=True)

@@ -18,6 +18,8 @@ def main(argv=None) -> None:
     p.add_argument("--data_dir", default="data/imgs")
     p.add_argument("--ckpt_dir", default="checkpoints/motion")
     p.add_argument("--batch_size", default=4, type=int)
+    p.add_argument("--metrics_json", default=None,
+                   help="also dump the metrics as JSON (one object)")
     args = p.parse_args(argv)
 
     from sndepth_tpu.data.kitti_motion import KITTIMotionDataset
@@ -40,7 +42,12 @@ def main(argv=None) -> None:
         if not math.isnan(miou):
             total += miou
         count += 1
-    print(f"mIoU:{total / max(count, 1)}")
+    miou_mean = total / max(count, 1)
+    print(f"mIoU:{miou_mean}")
+    if args.metrics_json:
+        import json
+        with open(args.metrics_json, "w") as f:
+            json.dump({"miou": miou_mean}, f, indent=2)
 
 
 if __name__ == "__main__":

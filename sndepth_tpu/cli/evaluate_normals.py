@@ -24,6 +24,8 @@ def main(argv=None) -> None:
                         "the NNET decoder with (random or loaded) weights")
     p.add_argument("--ckpt_dir", default=None)
     p.add_argument("--log_file", default="normal_eval.txt")
+    p.add_argument("--metrics_json", default=None,
+                   help="also dump the metrics as JSON (one object)")
     args = p.parse_args(argv)
 
     from sndepth_tpu.data.nyu import NYUv2Dataset
@@ -112,6 +114,10 @@ def main(argv=None) -> None:
     print(line)
     with open(args.log_file, "a") as f:
         f.write("mean median rmse 5 7.5 11.25 22.5 30\n%s\n\n" % line)
+    if args.metrics_json:
+        import json
+        with open(args.metrics_json, "w") as f:
+            json.dump(metrics, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -490,3 +490,63 @@ def test_vae_and_dino_convert_then_forward(tmp_path):
                     jnp.asarray(np.random.RandomState(1).rand(
                         1, 224, 224, 3), jnp.float32))
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.slow
+def test_parity_report_cli(tmp_path, capsys):
+    """cli/parity_report: fabricated checkpoints + data in the documented
+    layout -> one command -> one metric table with present families
+    evaluated and absent families reported as skipped."""
+    import json
+
+    from test_convert_more import TorchMotionFusionNet
+    from test_convert_weights import TorchDispNetS, TorchPoseNet
+
+    from sndepth_tpu.cli import parity_report
+
+    torch.manual_seed(0)
+    ck = tmp_path / "checkpoints"
+    ck.mkdir()
+    torch.save(TorchDispNetS().state_dict(), ck / "rigid_depth_1.pth")
+    torch.save(TorchPoseNet().state_dict(), ck / "rigid_pose_1.pth")
+    torch.save(TorchMotionFusionNet().state_dict(), ck / "best.pt")
+
+    rng = np.random.RandomState(0)
+    dd = tmp_path / "data"
+    img_dir = dd / "imgs"
+    img_dir.mkdir(parents=True)
+    paths = []
+    for i in range(2):
+        p = img_dir / f"{i:06d}.png"
+        _write_png(p, rng.randint(0, 255, (96, 160, 3)))
+        paths.append(str(p))
+    (dd / "eigen_test_files.txt").write_text("\n".join(paths) + "\n")
+    gt = 1.0 + 60.0 * rng.rand(2, 96, 160).astype(np.float32)
+    np.savez(dd / "kitti_eigen_gt.npz", gt_depths=gt)
+
+    root = dd / "kitti_motion"
+    for sub in ("image", "flow", "label"):
+        (root / "val" / sub).mkdir(parents=True)
+    for i in range(2):
+        _write_png(root / "val" / "image" / f"{i:06d}_10.png",
+                   rng.randint(0, 255, (64, 96, 3)))
+        _write_png(root / "val" / "flow" / f"{i:06d}_10.png",
+                   rng.randint(0, 255, (64, 96, 3)))
+        lbl = np.zeros((64, 96, 3), np.uint8)
+        lbl[..., 0] = rng.randint(0, 3, (64, 96)) * 100
+        _write_png(root / "val" / "label" / f"{i:06d}_10.png", lbl)
+
+    out_dir = tmp_path / "out"
+    parity_report.main([
+        "--checkpoints_dir", str(ck), "--data_dir", str(dd),
+        "--out_dir", str(out_dir),
+        "--img_height", "64", "--img_width", "96"])
+
+    report = json.load(open(out_dir / "report.json"))
+    assert "kitti_eigen_depth" in report["metrics"]
+    assert np.isfinite(report["metrics"]["kitti_eigen_depth"]["abs_rel"])
+    assert "kitti_motion_miou" in report["metrics"]
+    assert np.isfinite(report["metrics"]["kitti_motion_miou"]["miou"])
+    assert "nyu_normals" in report["skipped"]        # no nyu.pt present
+    table = capsys.readouterr().out
+    assert "| kitti_eigen_depth | abs_rel |" in table
