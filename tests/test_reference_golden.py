@@ -162,6 +162,25 @@ def test_scale_pyramid_and_intrinsics_golden(ref):
 
 
 @pytest.mark.slow
+def test_propagate_golden(ref):
+    """`utils_edited.propagate` (:526-563) — the reference hardcodes
+    batch 4 (`torch.zeros((4, ...))`); we reproduce its math for any
+    batch, checked here at its batch."""
+    ue, _ = ref
+    rng = np.random.RandomState(6)
+    b, c, h, w = 4, 3, 10, 14
+    data = rng.rand(b, c, h, w).astype(np.float32)
+    ds = [rng.rand(b, 1, h, w).astype(np.float32) for _ in range(4)]
+    with torch.no_grad():
+        want = ue.propagate(_t(data), *[_t(d) for d in ds], c, h, w).numpy()
+    from sndepth_tpu.ops.edges import propagate
+    got = np.asarray(propagate(
+        jnp.asarray(data.transpose(0, 2, 3, 1)),
+        *[jnp.asarray(d.transpose(0, 2, 3, 1)) for d in ds]))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_dispnet_forward_golden(ref):
     """The reference's own models.DispNetS (not a replica), random-init,
     converted and compared over all 4 training scales."""
