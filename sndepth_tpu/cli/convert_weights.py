@@ -48,6 +48,8 @@ def main(argv=None) -> None:
     g = sub.add_parser("geonet", help="DispNetS + PoseNet pair")
     g.add_argument("--depth", required=True, help="rigid_depth_*.pth")
     g.add_argument("--pose", required=True, help="rigid_pose_*.pth")
+    g.add_argument("--flow", default=None,
+                   help="optional stage-2 flow_*.pth (FlowNet)")
     g.add_argument("--out", required=True, help="output checkpoint dir")
 
     n = sub.add_parser("nnet", help="normal net (nyu.pt)")
@@ -70,7 +72,8 @@ def main(argv=None) -> None:
     from sndepth_tpu.utils import convert_weights as cw
 
     if args.kind == "geonet":
-        params = cw.convert_geonet_checkpoint(args.depth, args.pose)
+        params = cw.convert_geonet_checkpoint(args.depth, args.pose,
+                                              args.flow)
     elif args.kind == "nnet":
         params = cw.convert_nnet_checkpoint(args.ckpt, args.architecture)
     elif args.kind == "raft3d":

@@ -62,6 +62,35 @@ def convert_dispnet(sd: dict) -> dict:
     return params
 
 
+def convert_flownet(sd: dict) -> dict:
+    """torch FlowNet state_dict (`models/FlowNet.py:41-78`) -> flax param
+    subtree for `models/flownet.py:FlowNet` (stage-2 ``flow_*.pth``
+    checkpoints, saved by `baseline.py:1218-1232`)."""
+    sd = _strip_module(sd)
+    params: dict = {}
+    for i in range(7):
+        params[f"_DownBlock_{i}"] = {
+            "Conv_0": {"kernel": _conv_w(sd[f"conv{i + 1}.0.weight"]),
+                       "bias": np.asarray(sd[f"conv{i + 1}.0.bias"])},
+            "Conv_1": {"kernel": _conv_w(sd[f"conv{i + 1}.2.weight"]),
+                       "bias": np.asarray(sd[f"conv{i + 1}.2.bias"])},
+        }
+    for i in range(7):
+        torch_idx = 7 - i       # upconv7 is the first applied
+        params[f"_UpConv_{i}"] = {"TorchConvTranspose2x_0": {
+            "kernel": _convT_w(sd[f"upconv{torch_idx}.0.weight"]),
+            "bias": np.asarray(sd[f"upconv{torch_idx}.0.bias"])}}
+        params[f"_IConv_{i}"] = {"Conv_0": {
+            "kernel": _conv_w(sd[f"iconv{torch_idx}.0.weight"]),
+            "bias": np.asarray(sd[f"iconv{torch_idx}.0.bias"])}}
+    # flow heads: applied order flow4, flow3, flow2, flow1 -> Conv_0..3
+    for flax_idx, torch_idx in enumerate((4, 3, 2, 1)):
+        params[f"Conv_{flax_idx}"] = {
+            "kernel": _conv_w(sd[f"flow{torch_idx}.weight"]),
+            "bias": np.asarray(sd[f"flow{torch_idx}.bias"])}
+    return params
+
+
 def convert_posenet(sd: dict) -> dict:
     sd = _strip_module(sd)
     params: dict = {}
@@ -74,14 +103,21 @@ def convert_posenet(sd: dict) -> dict:
     return params
 
 
-def convert_geonet_checkpoint(depth_path: str, pose_path: str) -> dict:
-    """Load the reference .pth pair -> {"disp": ..., "pose": ...}."""
+def convert_geonet_checkpoint(depth_path: str, pose_path: str,
+                              flow_path: str | None = None) -> dict:
+    """Load the reference .pth set -> {"disp": ..., "pose": ...[, "flow"]}
+    (stage-2 runs also save ``flow_<iter>.pth``, `baseline.py:1218-1232`)."""
     import torch
     ckpt_d = torch.load(depth_path, map_location="cpu")
     ckpt_p = torch.load(pose_path, map_location="cpu")
     sd_d = ckpt_d.get("disp_net_state_dict", ckpt_d)
     sd_p = ckpt_p.get("pose_net_state_dict", ckpt_p)
-    return {"disp": convert_dispnet(sd_d), "pose": convert_posenet(sd_p)}
+    out = {"disp": convert_dispnet(sd_d), "pose": convert_posenet(sd_p)}
+    if flow_path is not None:
+        ckpt_f = torch.load(flow_path, map_location="cpu")
+        sd_f = ckpt_f.get("flow_net_state_dict", ckpt_f)
+        out["flow"] = convert_flownet(sd_f)
+    return out
 
 
 def verify_posenet_parity(torch_model, flax_params, h=64, w=96,

@@ -204,6 +204,31 @@ def test_dispnet_forward_golden(ref):
 
 
 @pytest.mark.slow
+def test_flownet_forward_golden(ref):
+    """The reference's own models.FlowNet (stage-2 ``flow_*.pth`` family,
+    `baseline.py:1218-1232`) through the new convert_flownet, compared
+    over all 4 flow scales."""
+    del ref
+    from models.FlowNet import FlowNet as RefFlowNet
+    torch.manual_seed(2)
+    tm = RefFlowNet(14, 0.1).eval()
+    x = np.random.RandomState(2).randn(1, 14, 64, 96).astype(np.float32)
+    with torch.no_grad():
+        want = [f.numpy() for f in tm(torch.from_numpy(x))]
+
+    from sndepth_tpu.models.flownet import FlowNet
+    from sndepth_tpu.utils.convert_weights import convert_flownet
+    params = convert_flownet(tm.state_dict())
+    net = FlowNet(flow_scale_factor=0.1, dtype=jnp.float32)
+    got = net.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)},
+                    jnp.asarray(x.transpose(0, 2, 3, 1)))
+    for s, (g, wv) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(
+            np.asarray(g).transpose(0, 3, 1, 2), wv, atol=2e-3,
+            err_msg=f"scale {s}")
+
+
+@pytest.mark.slow
 def test_posenet_forward_golden(ref):
     del ref
     from models.PoseNet import PoseNet as RefPoseNet
