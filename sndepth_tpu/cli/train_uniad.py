@@ -27,6 +27,12 @@ def main(argv=None) -> None:
     p.add_argument("--lr", default=2e-4, type=float)
     p.add_argument("--small", action="store_true",
                    help="small model config (for smoke runs)")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize encoder/decoder sublayers "
+                        "(reference-scale memory; see "
+                        "tools/uniad_refscale_mesh.py)")
     args = p.parse_args(argv)
 
     from sndepth_tpu.models.uniad_track import (UniADTrack,
@@ -34,13 +40,16 @@ def main(argv=None) -> None:
     from sndepth_tpu.train import checkpoint as ckpt_lib
     from sndepth_tpu.train import uniad as tu
 
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     if args.small:
         model = UniADTrack(
             num_query=12, num_classes=3, embed_dims=32, bev_h=4, bev_w=4,
             num_cams=2, encoder_layers=1, decoder_layers=2,
-            backbone_blocks=(1, 1, 1, 1), mem_len=2)
+            backbone_blocks=(1, 1, 1, 1), mem_len=2, dtype=dtype,
+            remat=args.remat)
     else:
-        model = uniad_reference_config()
+        model = uniad_reference_config(dtype=dtype, remat=args.remat)
     clip = tu.synthetic_clip(model, t_frames=args.t_frames, ng=args.num_gt,
                              img_hw=(args.img_size, args.img_size))
     state = tu.create_train_state(model, clip, learning_rate=args.lr)

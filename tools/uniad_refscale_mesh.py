@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--no_remat", action="store_true")
     ap.add_argument("--bev", type=int, default=0,
                     help="override BEV size (smoke tests only)")
+    ap.add_argument("--compile_only", action="store_true",
+                    help="stop after compile + memory_analysis")
     args = ap.parse_args()
 
     os.environ["XLA_FLAGS"] = (
@@ -93,6 +95,8 @@ def main():
     except Exception as exc:                       # CPU may not implement
         print(f"[refscale-mesh] memory_analysis unavailable: {exc}",
               flush=True)
+    if args.compile_only:
+        return
 
     t0 = time.time()
     state, metrics = compiled(state, clip)
