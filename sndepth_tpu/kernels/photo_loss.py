@@ -47,8 +47,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from sndepth_tpu.kernels.warp import (_LANE, _NMETA, _SUB, _round_up,
-                                      _warp_tile, tile_meta)
+from sndepth_tpu.kernels.warp import (_BK, _LANE, _NMETA, _SUB,
+                                      _assemble_tile, _round_up,
+                                      _warp_tile, plane_gather_blend,
+                                      tile_meta)
 
 Array = jax.Array
 
@@ -82,6 +84,16 @@ def _pool3(pbuf, val, h, w):
     col = pbuf[0:h, :] + pbuf[1:h + 1, :] + pbuf[2:h + 2, :]
     return (col[:, 0:w] + col[:, 1:w + 1] + col[:, 2:w + 2]) / 9.0
 
+
+# Plane-form warp inside the pair kernel: per-tile ROW-TABLE assembly +
+# whole-plane lane gathers/blends, replacing the per-tile gather loop on
+# single-lane-chunk (wtp == 128, i.e. portrait scale-0) planes. r4 probes:
+# per-tile lane takes carry ~5x per-op overhead vs whole-plane ones and
+# were ~29 of the kernel's 50 ms — but the first whole-plane form BENCHED
+# -1.3% (2344.5 vs 2376.1, one-process A/B): the always-K=5 stage B +
+# double tap_setup eat the win. Default OFF pending the adaptive-K
+# iteration; "auto"/"1" enables on single-chunk planes.
+_PLANE = os.environ.get("SNDEPTH_PHOTO_PLANE", "0")
 
 # Pool backend for the pair/fused kernels: "row" (vertical by sublane
 # shifts + horizontal 3-tap by a banded matmul on the otherwise-idle
@@ -304,7 +316,7 @@ def _run(tgt, src, coords, alpha, mode, need_grad):
 
 def _pair_kernel(xf_ref, yf_ref, xb_ref, yb_ref, src_ref, tgt_ref,
                  *rest, h, w, nch, ns, mode, alpha, need_grad,
-                 weighted=False):
+                 weighted=False, plane=False):
     """One grid step = one BATCH image: both loss directions over all
     ``ns`` source views in a single VMEM pass.
 
@@ -322,6 +334,8 @@ def _pair_kernel(xf_ref, yf_ref, xb_ref, yb_ref, src_ref, tgt_ref,
     mask, so the weight simply rides the cotangent mask — the warped
     plane itself stays masked by the pure in-image mask.
     """
+    if plane:
+        *rest, tbuf, fbbuf = rest
     if weighted:
         (wgt_ref, meta_ref, loss_ref, dxf_ref, dyf_ref, dxb_ref,
          dyb_ref, wbuf, txbuf, tybuf, pbuf, mxbuf, sxbuf) = rest
@@ -357,35 +371,79 @@ def _pair_kernel(xf_ref, yf_ref, xb_ref, yb_ref, src_ref, tgt_ref,
         for si in range(ns):
             mi = d * ns + si
 
-            def tile_body(i, _, si=si, mi=mi, x_ref=x_ref, y_ref=y_ref,
-                          dd=d):
-                ro = pl.multiple_of((i // ncol) * _SUB, _SUB)
-                co = pl.multiple_of((i % ncol) * _LANE, _LANE)
-                x = x_ref[0, si, pl.ds(ro, _SUB), pl.ds(co, _LANE)]
-                y = y_ref[0, si, pl.ds(ro, _SUB), pl.ds(co, _LANE)]
-                meta = tuple(meta_ref[0, mi, i, k] for k in range(_NMETA))
+            if plane:
+                # Plane-form warp: stage A assembles row tables per tile
+                # (sublane gathers, ~free); stage B lane-gathers + blends
+                # whole-plane (5x cheaper per op than in the tile loop).
+                def tile_bodyA(i, _, si=si, mi=mi, x_ref=x_ref,
+                               y_ref=y_ref, dd=d):
+                    ro = pl.multiple_of(i * _SUB, _SUB)
+                    x = x_ref[0, si, pl.ds(ro, _SUB), :]
+                    y = y_ref[0, si, pl.ds(ro, _SUB), :]
+                    meta = tuple(meta_ref[0, mi, i, k]
+                                 for k in range(_NMETA))
 
-                def store(accs, txs, tys):
-                    for ch in range(nch):
-                        wbuf[ch, pl.ds(ro, _SUB), pl.ds(co, _LANE)] = \
-                            accs[ch]
-                        if need_grad:
-                            txbuf[ch, pl.ds(ro, _SUB),
-                                  pl.ds(co, _LANE)] = txs[ch]
-                            tybuf[ch, pl.ds(ro, _SUB),
-                                  pl.ds(co, _LANE)] = tys[ch]
+                    def store_slow(accs, txs, tys):
+                        for ch in range(nch):
+                            wbuf[ch, pl.ds(ro, _SUB), :] = accs[ch]
+                            if need_grad:
+                                txbuf[ch, pl.ds(ro, _SUB), :] = txs[ch]
+                                tybuf[ch, pl.ds(ro, _SUB), :] = tys[ch]
+                        fbbuf[pl.ds(ro, _SUB), :] = jnp.ones(
+                            (_SUB, wtp), jnp.float32)
 
-                if dd == 0:
-                    _warp_tile(x, y, src_ref, h, w, nch, mode,
-                               save_tangents=need_grad, store=store,
-                               meta=meta, img_at=(0, si))
-                else:
-                    _warp_tile(x, y, tgt_ref, h, w, nch, mode,
-                               save_tangents=need_grad, store=store,
-                               meta=meta, img_at=(0,))
-                return 0
+                    if dd == 0:
+                        _assemble_tile(x, y, src_ref, h, w, nch, mode,
+                                       need_grad, meta, (0, si), ro,
+                                       tbuf, store_slow)
+                    else:
+                        _assemble_tile(x, y, tgt_ref, h, w, nch, mode,
+                                       need_grad, meta, (0,), ro,
+                                       tbuf, store_slow)
+                    return 0
 
-            jax.lax.fori_loop(0, ntile, tile_body, 0)
+                fbbuf[:] = jnp.zeros((htp, wtp), jnp.float32)
+                jax.lax.fori_loop(0, ntile, tile_bodyA, 0)
+                accs, txs, tys = plane_gather_blend(
+                    tbuf, x_ref[0, si], y_ref[0, si], h, w, nch, mode,
+                    need_grad)
+                fbm = fbbuf[:] > 0.5
+                for ch in range(nch):
+                    wbuf[ch] = jnp.where(fbm, wbuf[ch], accs[ch])
+                    if need_grad:
+                        txbuf[ch] = jnp.where(fbm, txbuf[ch], txs[ch])
+                        tybuf[ch] = jnp.where(fbm, tybuf[ch], tys[ch])
+            else:
+                def tile_body(i, _, si=si, mi=mi, x_ref=x_ref,
+                              y_ref=y_ref, dd=d):
+                    ro = pl.multiple_of((i // ncol) * _SUB, _SUB)
+                    co = pl.multiple_of((i % ncol) * _LANE, _LANE)
+                    x = x_ref[0, si, pl.ds(ro, _SUB), pl.ds(co, _LANE)]
+                    y = y_ref[0, si, pl.ds(ro, _SUB), pl.ds(co, _LANE)]
+                    meta = tuple(meta_ref[0, mi, i, k]
+                                 for k in range(_NMETA))
+
+                    def store(accs, txs, tys):
+                        for ch in range(nch):
+                            wbuf[ch, pl.ds(ro, _SUB),
+                                 pl.ds(co, _LANE)] = accs[ch]
+                            if need_grad:
+                                txbuf[ch, pl.ds(ro, _SUB),
+                                      pl.ds(co, _LANE)] = txs[ch]
+                                tybuf[ch, pl.ds(ro, _SUB),
+                                      pl.ds(co, _LANE)] = tys[ch]
+
+                    if dd == 0:
+                        _warp_tile(x, y, src_ref, h, w, nch, mode,
+                                   save_tangents=need_grad, store=store,
+                                   meta=meta, img_at=(0, si))
+                    else:
+                        _warp_tile(x, y, tgt_ref, h, w, nch, mode,
+                                   save_tangents=need_grad, store=store,
+                                   meta=meta, img_at=(0,))
+                    return 0
+
+                jax.lax.fori_loop(0, ntile, tile_body, 0)
 
             if need_grad:
                 dx_acc = jnp.zeros((htp, wtp), jnp.float32)
@@ -502,11 +560,21 @@ def _pair_run(tgt, srcs, coords_f, coords_b, alpha, mode, need_grad,
     in_specs.append(pl.BlockSpec((1, 2 * ns, ntile, _NMETA),
                                  lambda bi: (bi, 0, 0, 0),
                                  memory_space=pltpu.SMEM))
+    plane = (wtp == _LANE) and _PLANE != "0"
+    scratch = [pltpu.VMEM((nch, htp, wtp), jnp.float32),
+               pltpu.VMEM((nch, htp, wtp), jnp.float32),
+               pltpu.VMEM((nch, htp, wtp), jnp.float32),
+               pltpu.VMEM((htp + 2, wtp + 2), jnp.float32),
+               pltpu.VMEM((nch, htp, wtp), jnp.float32),
+               pltpu.VMEM((nch, htp, wtp), jnp.float32)]
+    if plane:
+        scratch += [pltpu.VMEM((_BK, nch, htp, wtp), jnp.float32),
+                    pltpu.VMEM((htp, wtp), jnp.float32)]
     outs = pl.pallas_call(
         functools.partial(_pair_kernel, h=h, w=w, nch=nch, ns=ns,
                           mode=mode, alpha=float(alpha),
                           need_grad=need_grad,
-                          weighted=weights is not None),
+                          weighted=weights is not None, plane=plane),
         grid=(b,),
         in_specs=in_specs,
         out_specs=(pl.BlockSpec((1, _SUB, _LANE), lambda bi: (bi, 0, 0),
@@ -514,12 +582,7 @@ def _pair_run(tgt, srcs, coords_f, coords_b, alpha, mode, need_grad,
                    gspec, gspec, gspec, gspec),
         out_shape=(jax.ShapeDtypeStruct((b, _SUB, _LANE), jnp.float32),)
         + (jax.ShapeDtypeStruct((b, ns, htp, wtp), jnp.float32),) * 4,
-        scratch_shapes=[pltpu.VMEM((nch, htp, wtp), jnp.float32),
-                        pltpu.VMEM((nch, htp, wtp), jnp.float32),
-                        pltpu.VMEM((nch, htp, wtp), jnp.float32),
-                        pltpu.VMEM((htp + 2, wtp + 2), jnp.float32),
-                        pltpu.VMEM((nch, htp, wtp), jnp.float32),
-                        pltpu.VMEM((nch, htp, wtp), jnp.float32)],
+        scratch_shapes=scratch,
         compiler_params=_VMEM_PARAMS,
         interpret=_interpret(),
     )(*inputs)
@@ -619,9 +682,11 @@ def pair_ok(tgt: Array, ns: int) -> bool:
     if ht % _SUB:
         return False            # pool row-padding not handled (unused)
     plane = _round_up(ht, _SUB) * _round_up(wt, _LANE) * 4
-    # coords 4ns + srcs ns*nch + tgt nch + grads 4ns + scratch 5nch, x2
-    # for grid double-buffering of the per-image input blocks.
-    resident = plane * (2 * (8 * ns + (ns + 1) * nch) + 5 * nch + 4)
+    # coords 4ns + srcs ns*nch + tgt nch + grads 4ns + scratch 5nch
+    # (+ _BK*nch row tables + fb mask for the plane form), x2 for grid
+    # double-buffering of the per-image input blocks.
+    resident = plane * (2 * (8 * ns + (ns + 1) * nch) + 5 * nch + 4
+                        + _BK * nch + 1)
     return resident <= 48 * 1024 * 1024
 
 

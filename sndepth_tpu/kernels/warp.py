@@ -656,6 +656,127 @@ def _warp_tile(x, y, img_ref, h, w, nch, mode, save_tangents, store,
         store(list(accs), list(txs), list(tys))
 
 
+def _assemble_tile(x, y, img_ref, h, w, nch, mode, save_tangents, meta,
+                   img_at, ro, tref, store_slow):
+    """Stage A of the plane-form warp (single-lane-chunk planes only):
+    assemble this (8, 128) tile's per-sublane row tables
+    ``T_k[s, c] = img[ybar[s] + k, c]`` into ``tref`` (a
+    (_BK, nch, htp, _LANE) scratch), with the k-range chosen by the
+    tile's meta path (2 / 3 / _BK rows). Slow-path tiles instead compute
+    the warp directly and hand (accs, txs, tys) to ``store_slow`` (which
+    also flags the rows as fallback for the whole-plane stage B).
+
+    Rationale (r4 probes): per-tile LANE gathers carry ~5x per-op
+    overhead vs whole-plane ones (0.91 vs 0.18 ms for identical volume),
+    while per-tile SUBLANE gathers are ~free — so assembly stays here and
+    the lane gathers + blends move to the whole-plane stage
+    (`photo_loss._pair_kernel` plane path).
+    """
+    (x0i, x1i, y0i, y1i, wx0, wx1, wy0, wy1,
+     (dvx0, dvx1, dvy0, dvy1)) = _tap_setup(x, y, h, w, mode)
+    ybar = jnp.min(y0i, axis=1, keepdims=True)
+    path, gb, cbase2, cbase3, ymin_m, ymax_m, cminv, cmaxv = meta
+
+    def asm(K, ng):
+        blocks = {}
+        for g in range(ng):
+            row0 = pl.multiple_of(gb + g * _SUB, _SUB)
+            for ch in range(nch):
+                blocks[g, ch] = img_ref[
+                    (*img_at, ch, pl.ds(row0, _SUB), pl.ds(0, _LANE))]
+        for k in range(K):
+            rel = jnp.broadcast_to(ybar + k - gb, y0i.shape)
+            sub = rel % _SUB
+            gsel = rel // _SUB
+            for ch in range(nch):
+                u = jnp.take_along_axis(blocks[0, ch], sub, axis=0)
+                for g in range(1, ng):
+                    u = jnp.where(gsel == g,
+                                  jnp.take_along_axis(blocks[g, ch], sub,
+                                                      axis=0), u)
+                tref[k, ch, pl.ds(ro, _SUB), :] = u
+
+    hp = img_ref.shape[-2]
+    ngrp2 = min(2, hp // _SUB)
+    ngrp3 = min(_TGRP, hp // _SUB)
+
+    @pl.when(path == 4)
+    def _fast():
+        asm(2, ngrp2)
+
+    @pl.when((path == 0) | (path == 1))
+    def _band():
+        asm(3, ngrp3)
+
+    @pl.when(path == 2)
+    def _bandk():
+        asm(_BK, ngrp3)
+
+    @pl.when(path == 3)
+    def _slow():
+        def fold(carry, m_y0, m_y1, g0s, g1s):
+            accs, txs, tys = carry
+            wk = wy0 * m_y0 + wy1 * m_y1
+            accs = tuple(acc + wk * (wx0 * g0 + wx1 * g1)
+                         for acc, g0, g1 in zip(accs, g0s, g1s))
+            if save_tangents:
+                sy = (m_y1.astype(jnp.float32) * dvy1
+                      - m_y0.astype(jnp.float32) * dvy0)
+                txs = tuple(tx + wk * (dvx1 * g1 - dvx0 * g0)
+                            for tx, g0, g1 in zip(txs, g0s, g1s))
+                tys = tuple(ty + sy * (wx0 * g0 + wx1 * g1)
+                            for ty, g0, g1 in zip(tys, g0s, g1s))
+            return accs, txs, tys
+
+        zeros = tuple(jnp.zeros((_SUB, _LANE), jnp.float32)
+                      for _ in range(nch))
+        accs, txs, tys = _row_chunk_loop(
+            img_ref, nch, x0i, x1i, y0i, y1i, fold,
+            (zeros, zeros, zeros),
+            bounds=(ymin_m, ymax_m, cminv, cmaxv), img_at=img_at)
+        store_slow(list(accs), list(txs), list(tys))
+
+
+def plane_gather_blend(tref, x, y, h, w, nch, mode, need_grad):
+    """Stage B of the plane-form warp: whole-plane lane gathers of the
+    stage-A row tables + the bilinear/tangent blends, with one-hot row
+    masks exactly reproducing the band paths (`_bandk_path` algebra).
+    Rows flagged in ``fb`` keep whatever the slow path stored (the caller
+    merges). Returns (accs, txs, tys) whole-plane per channel."""
+    (x0i, x1i, y0i, y1i, wx0, wx1, wy0, wy1,
+     (dvx0, dvx1, dvy0, dvy1)) = _tap_setup(x, y, h, w, mode)
+    ybar = jnp.min(y0i, axis=1, keepdims=True)
+    d0 = y0i - jnp.broadcast_to(ybar, y0i.shape)
+    d1 = y1i - jnp.broadcast_to(ybar, y0i.shape)
+    shape = x.shape
+    accs, txs, tys = [], [], []
+    for ch in range(nch):
+        acc = jnp.zeros(shape, jnp.float32)
+        tx = jnp.zeros(shape, jnp.float32)
+        ty = jnp.zeros(shape, jnp.float32)
+        for k in range(_BK):
+            t0 = jnp.take_along_axis(tref[k, ch], x0i, axis=1)
+            t1 = jnp.take_along_axis(tref[k, ch], x1i, axis=1)
+            m0 = d0 == k
+            m1 = d1 == k
+            either = m0 | m1
+            # where-guards: unassembled k-tables hold garbage on rows a
+            # shorter path covered — selects (not multiplies) discard it.
+            wk = jnp.where(m0, wy0, 0.0) + jnp.where(m1, wy1, 0.0)
+            a_k = wx0 * t0 + wx1 * t1
+            acc = acc + jnp.where(either, wk * a_k, 0.0)
+            if need_grad:
+                tx = tx + jnp.where(either,
+                                    wk * (dvx1 * t1 - dvx0 * t0), 0.0)
+                sk = (jnp.where(m1, dvy1, 0.0)
+                      - jnp.where(m0, dvy0, 0.0))
+                ty = ty + jnp.where(either, sk * a_k, 0.0)
+        accs.append(acc)
+        txs.append(tx)
+        tys.append(ty)
+    return accs, txs, tys
+
+
 def _fwd_kernel(x_ref, y_ref, img_ref, meta_ref, out_ref, *refs, h, w,
                 nch, mode, save_tangents):
     """Forward warp over _TPS stacked tiles; with ``save_tangents`` also

@@ -22,6 +22,7 @@ lookup — one fused XLA gather per level.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -65,8 +66,8 @@ def _msda_core(value, spatial_shapes, sampling_locations,
 # that is 4 x 7.3 GB live at once, which alone OOMs a 16 GB chip
 # (measured compile OOM breakdown). Chunked under lax.map the peak
 # scales with the chunk; values are exact (the op is per-query).
-_Q_CHUNK_THRESHOLD = 16384
-_Q_CHUNK_TARGET = 8192
+_Q_CHUNK_THRESHOLD = int(os.environ.get("SNDEPTH_MSDA_CHUNK_MIN", "16384"))
+_Q_CHUNK_TARGET = int(os.environ.get("SNDEPTH_MSDA_CHUNK", "8192"))
 
 
 def ms_deformable_attention(value: Array, spatial_shapes: Sequence[tuple],
@@ -97,13 +98,78 @@ def ms_deformable_attention(value: Array, spatial_shapes: Sequence[tuple],
             xc = x.reshape((b, nchunks, qc) + x.shape[2:])
             return jnp.moveaxis(xc, 1, 0)                  # chunk-major
 
+        # jax.checkpoint on the chunk body: without it the map's backward
+        # stores every chunk's bilinear-tap tensors as residuals — at
+        # reference scale (40k queries, 6+6 layers, T=2) that is the
+        # ~550 GiB/device compile-measured demand. Checkpointing makes the
+        # backward recompute one chunk at a time INSIDE the loop, which
+        # bounds the peak structurally (module-level nn.remat alone is a
+        # scheduling hint some backends ignore — measured no-op on
+        # XLA:CPU).
+        core = jax.checkpoint(
+            lambda args: _msda_core(value, spatial_shapes, *args))
         out = jax.lax.map(
-            lambda args: _msda_core(value, spatial_shapes, *args),
-            (split(sampling_locations), split(attention_weights)))
+            core, (split(sampling_locations), split(attention_weights)))
         out = jnp.moveaxis(out, 0, 1).reshape(b, nchunks * qc, -1)
         return out[:, :nq]
     return _msda_core(value, spatial_shapes, sampling_locations,
                       attention_weights)
+
+
+def _chunked_dense_msda(qf, ref, v, spatial_shapes, ok, ob, wk, wb,
+                        make_loc, h, L, P):
+    """Query-chunked offsets->softmax->loc->sampling with a CHECKPOINTED
+    chunk body under ``lax.map``.
+
+    At reference scale the full-nq offsets/locations tensors alone are
+    ~16 GB per SCA layer and the bilinear tap residuals sum to the
+    measured ~550 GiB/device backward demand; chunking only the sampling
+    (the old path) still stored full-nq locations as map inputs. Here the
+    Dense projections run INSIDE the chunk body from their param arrays,
+    so the only full-nq residuals are the query itself and the output —
+    and the loop structure bounds the recompute peak regardless of the
+    backend's scheduler (module-level nn.remat was measured a no-op on
+    XLA:CPU).
+
+    qf: (B, nq, Cq) dense input (model dtype; cast to f32 in-body);
+    ref: (B, nq, ...) per-query reference data; v: (B, keys, h, dim);
+    ok/ob/wk/wb: offsets/weights Dense params;
+    make_loc(off, ref_c) -> (B, qc, h, L, P, 2). Returns (B, nq, h*dim).
+    """
+    b, nq, _ = qf.shape
+    nchunks = max(1, -(-nq // _Q_CHUNK_TARGET))
+    qc = -(-nq // nchunks)
+    pad = nchunks * qc - nq
+
+    def split(x):
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((b, pad) + x.shape[2:], x.dtype)], axis=1)
+        return jnp.moveaxis(
+            x.reshape((b, nchunks, qc) + x.shape[2:]), 1, 0)
+
+    @jax.checkpoint
+    def body(args):
+        q_c, ref_c = args
+        q32 = q_c.astype(jnp.float32)
+        off = (q32 @ ok + ob).reshape(b, qc, h, L, P, 2)
+        wgt = jax.nn.softmax(
+            (q32 @ wk + wb).reshape(b, qc, h, L * P), -1
+        ).reshape(b, qc, h, L, P)
+        loc = make_loc(off, ref_c)
+        return _msda_core(v, spatial_shapes, loc, wgt)
+
+    out = jax.lax.map(body, (split(qf), split(ref)))
+    out = jnp.moveaxis(out, 0, 1).reshape(b, nchunks * qc, -1)
+    return out[:, :nq]
+
+
+def _dense_params(dense, sample):
+    """Force param creation on a bound submodule with a tiny dummy call
+    and return its (kernel, bias) arrays for functional in-loop use."""
+    _ = dense(sample)
+    p = dense.variables["params"]
+    return p["kernel"], p["bias"]
 
 
 class DeformConv2d(nn.Module):
@@ -192,28 +258,47 @@ class MSDeformableAttention3D(nn.Module):
         h, L, P = self.num_heads, self.num_levels, self.num_points
         head_dim = c // h
 
-        offsets = nn.Dense(h * L * P * 2, dtype=jnp.float32,
-                           kernel_init=nn.initializers.zeros,
-                           name="sampling_offsets")(
-            query.astype(jnp.float32))
-        offsets = offsets.reshape(b, nq, h, L, P, 2)
-        weights = nn.Dense(h * L * P, dtype=jnp.float32,
-                           kernel_init=nn.initializers.zeros,
-                           name="attention_weights")(
-            query.astype(jnp.float32))
-        weights = jax.nn.softmax(
-            weights.reshape(b, nq, h, L * P), axis=-1
-        ).reshape(b, nq, h, L, P)
-
+        d_off = nn.Dense(h * L * P * 2, dtype=jnp.float32,
+                         kernel_init=nn.initializers.zeros,
+                         name="sampling_offsets")
+        d_wgt = nn.Dense(h * L * P, dtype=jnp.float32,
+                         kernel_init=nn.initializers.zeros,
+                         name="attention_weights")
         v = nn.Dense(c, dtype=self.dtype, name="value_proj")(value)
         v = v.reshape(b, -1, h, head_dim)
 
         d = reference_points.shape[2]
+        shapes = jnp.asarray(spatial_shapes, jnp.float32)      # (L, 2) h,w
+
+        if nq >= _Q_CHUNK_THRESHOLD:
+            # Chunked-dense path: see _chunked_dense_msda.
+            ok, ob = _dense_params(
+                d_off, query[:, :1].astype(jnp.float32))
+            wk, wb = _dense_params(
+                d_wgt, query[:, :1].astype(jnp.float32))
+            normc = shapes[None, None, None, :, None, None, ::-1]
+
+            def make_loc(off, ref_c, d=d):
+                bc, qc = off.shape[:2]
+                refx = ref_c[:, :, None, None, :, None, :]
+                offx = off.reshape(bc, qc, h, L, d, P // d, 2)
+                return (refx + offx / normc).reshape(bc, qc, h, L, P, 2)
+
+            return _chunked_dense_msda(query, reference_points, v,
+                                       spatial_shapes, ok, ob, wk, wb,
+                                       make_loc, h, L, P)
+
+        offsets = d_off(query.astype(jnp.float32))
+        offsets = offsets.reshape(b, nq, h, L, P, 2)
+        weights = d_wgt(query.astype(jnp.float32))
+        weights = jax.nn.softmax(
+            weights.reshape(b, nq, h, L * P), axis=-1
+        ).reshape(b, nq, h, L, P)
+
         # Spread P points over the D reference anchors
         # (`spatial_cross_attention.py:360-380`).
         ref = reference_points[:, :, None, None, :, None, :]  # b nq 1 1 D 1 2
         off = offsets.reshape(b, nq, h, L, d, P // d, 2)
-        shapes = jnp.asarray(spatial_shapes, jnp.float32)      # (L, 2) h,w
         norm = shapes[None, None, None, :, None, None, ::-1]   # -> (w, h)
         loc = ref + off / norm
         loc = loc.reshape(b, nq, h, L, P, 2)
@@ -306,26 +391,38 @@ class TemporalSelfAttention(nn.Module):
             [jnp.concatenate([prev_value, query], axis=-1),
              jnp.concatenate([residual, query], axis=-1)], axis=0)
 
-        offsets = nn.Dense(h * L * P * 2, dtype=jnp.float32,
-                           kernel_init=nn.initializers.zeros,
-                           name="sampling_offsets")(q2.astype(jnp.float32))
-        offsets = offsets.reshape(2 * b, nq, h, L, P, 2)
-        weights = nn.Dense(h * L * P, dtype=jnp.float32,
-                           kernel_init=nn.initializers.zeros,
-                           name="attention_weights")(q2.astype(jnp.float32))
-        weights = jax.nn.softmax(
-            weights.reshape(2 * b, nq, h, L * P), -1
-        ).reshape(2 * b, nq, h, L, P)
-
+        d_off = nn.Dense(h * L * P * 2, dtype=jnp.float32,
+                         kernel_init=nn.initializers.zeros,
+                         name="sampling_offsets")
+        d_wgt = nn.Dense(h * L * P, dtype=jnp.float32,
+                         kernel_init=nn.initializers.zeros,
+                         name="attention_weights")
         v = nn.Dense(c, dtype=self.dtype, name="value_proj")(values)
         v = v.reshape(2 * b, -1, h, head_dim)
-
         ref = jnp.tile(reference_points, (2, 1, 1, 1))     # 2B, nq, 1, 2
         shapes = jnp.asarray(spatial_shapes, jnp.float32)
-        norm = shapes[None, None, None, :, None, ::-1]
-        loc = ref[:, :, None, None, :, :] + offsets / norm
 
-        out = ms_deformable_attention(v, spatial_shapes, loc, weights)
+        if nq >= _Q_CHUNK_THRESHOLD:
+            ok, ob = _dense_params(d_off, q2[:, :1].astype(jnp.float32))
+            wk, wb = _dense_params(d_wgt, q2[:, :1].astype(jnp.float32))
+            normc = shapes[None, None, None, :, None, ::-1]
+
+            def make_loc(off, ref_c):
+                return ref_c[:, :, None, None, :, :] + off / normc
+
+            out = _chunked_dense_msda(q2, ref, v, spatial_shapes,
+                                      ok, ob, wk, wb, make_loc, h, L, P)
+        else:
+            offsets = d_off(q2.astype(jnp.float32))
+            offsets = offsets.reshape(2 * b, nq, h, L, P, 2)
+            weights = d_wgt(q2.astype(jnp.float32))
+            weights = jax.nn.softmax(
+                weights.reshape(2 * b, nq, h, L * P), -1
+            ).reshape(2 * b, nq, h, L, P)
+            norm = shapes[None, None, None, :, None, ::-1]
+            loc = ref[:, :, None, None, :, :] + offsets / norm
+            out = ms_deformable_attention(v, spatial_shapes, loc, weights)
+
         out = 0.5 * (out[:b] + out[b:])
         out = nn.Dense(c, dtype=self.dtype, name="output_proj")(out)
         return out + residual
