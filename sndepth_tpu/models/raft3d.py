@@ -540,55 +540,20 @@ def cholesky_solve6(H: Array, g: Array) -> Array:
     return jnp.stack(x, axis=-1)
 
 
-def gauss_newton_step(Ts: Array, ae: Array, target: Array, weight: Array,
-                      depth: Array, intrinsics: Array, radius: int = 32,
-                      lm: float = 1e-4, ep: float = 10.0,
-                      block_size: int | None = None) -> Array:
-    """One dense embedding-weighted Gauss-Newton update
-    (`se3_field.py:146-167` + the semantics of the ``se3_build_inplace``
-    CUDA kernel).
+def _hg_xla(rot, trans, x, sq, gy, gx, X, tgt, wgt, intr4,
+            radius: int, block_size: int):
+    """Blocked XLA build of the dense-GN (H, g) — see gauss_newton_step.
 
-    Per pixel i the 6x6 normal equations accumulate, over every pixel j
-    within ``radius`` (grid units), the reprojection residual of T_i
-    applied to point X_j against target_j, weighted by the per-channel
-    confidence w_j and the embedding attention
-    ``sigmoid(-||ae_i/8 - ae_j/8||^2)`` (`se3_field.py:111-121,154`).
-
-    Ts: (B, H, W, 7); ae: (B, H, W, 32); target/weight: (B, H, W, 3);
-    depth: (B, H, W); intrinsics: (B, 4).
-
-    The per-pair object is O(N^2): single-shot up to ~2k pixels (KITTI
-    1/8-res is 832), otherwise the j axis is accumulated in
-    ``block_size`` chunks under ``lax.scan`` (O(N * block) memory, same
-    math — sums just reassociate), which keeps full-resolution KITTI
-    (47x156 = 7.3k pixels, 3.9 GB if materialized) on-chip.
-    """
-    b, h, w, _ = Ts.shape
-    n = h * w
+    TPU layout note: all per-pair (i, j) tensors keep N_j as the LAST
+    axis (832 at KITTI 1/8-res -> full 128-lane tiles). The naive
+    (..., N, N, 3, 6) arrangement lane-pads the tiny trailing dims up to
+    ~40x and dominated the RAFT3D frame time."""
     f32 = jnp.float32
-
-    # TPU layout note: all per-pair (i, j) tensors keep N_j as the LAST
-    # axis (832 at KITTI 1/8-res -> full 128-lane tiles). The naive
-    # (..., N, N, 3, 6) arrangement lane-pads the tiny trailing dims up to
-    # ~40x and dominated the RAFT3D frame time.
-    pts = pops.inv_project(depth, intrinsics).astype(f32)     # B,H,W,3
-    x = (ae.astype(f32) / 8.0).reshape(b, n, -1)
-    sq = jnp.sum(x * x, axis=-1)
-
-    gy = jnp.repeat(jnp.arange(h), w)
-    gx = jnp.tile(jnp.arange(w), h)
-
-    T_flat = Ts.reshape(b, n, 7).astype(f32)
-    rot = se3.matrix(T_flat)[..., :3, :3]                      # B,Ni,3,3
-    trans = T_flat[..., :3]                                    # B,Ni,3
-    X = pts.reshape(b, n, 3)                                   # B,Nj,3
-    tgt = target.astype(f32).reshape(b, n, 3)                  # B,Nj,3
-    wgt = weight.astype(f32).reshape(b, n, 3)
-
-    fx = intrinsics[:, 0, None, None].astype(f32)
-    fy = intrinsics[:, 1, None, None].astype(f32)
-    cx = intrinsics[:, 2, None, None].astype(f32)
-    cy = intrinsics[:, 3, None, None].astype(f32)
+    b, n = sq.shape
+    fx = intr4[:, 0, None, None]
+    fy = intr4[:, 1, None, None]
+    cx = intr4[:, 2, None, None]
+    cy = intr4[:, 3, None, None]
 
     def accumulate(Xj, xj, sqj, gyj, gxj, tgtj, wgtj):
         """Partial (H, g) from one chunk of j columns (B, cj, ...)."""
@@ -643,47 +608,134 @@ def gauss_newton_step(Ts: Array, ae: Array, target: Array, weight: Array,
                         preferred_element_type=f32)
         return Hc, gc
 
+    if block_size >= n:
+        return accumulate(X, x, sq, gy, gx, tgt, wgt)
+
+    nb = -(-n // block_size)
+    npad = nb * block_size
+
+    def padj(a, fill=0.0):
+        pad = [(0, 0), (0, npad - n)] + [(0, 0)] * (a.ndim - 2)
+        return jnp.pad(a, pad, constant_values=fill)
+
+    # Padded js carry zero confidence and an off-grid position, so
+    # they contribute nothing. Their point is (0, 0, 1) — z=1 keeps
+    # 1/Pz finite (0 would make J infinite and 0*inf = NaN the sums).
+    zpoint = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], f32),
+                              (b, npad - n, 3))
+    Xp = jnp.concatenate([X, zpoint], axis=1)
+    xp, tgtp, wgtp = padj(x), padj(tgt), padj(wgt)
+    sqp = jnp.pad(sq, ((0, 0), (0, npad - n)))
+    gyp = jnp.pad(gy, (0, npad - n), constant_values=10 ** 6)
+    gxp = jnp.pad(gx, (0, npad - n), constant_values=10 ** 6)
+
+    def body(carry, i):
+        def slj(a):
+            return jax.lax.dynamic_slice_in_dim(a, i * block_size,
+                                                block_size, axis=1)
+        Hc, gc = accumulate(
+            slj(Xp), slj(xp), slj(sqp),
+            jax.lax.dynamic_slice_in_dim(gyp, i * block_size,
+                                         block_size),
+            jax.lax.dynamic_slice_in_dim(gxp, i * block_size,
+                                         block_size),
+            slj(tgtp), slj(wgtp))
+        return (carry[0] + Hc, carry[1] + gc), None
+
+    init = (jnp.zeros((b, n, 6, 6), f32), jnp.zeros((b, n, 6), f32))
+    (H, g), _ = jax.lax.scan(body, init, jnp.arange(nb))
+    return H, g
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
+def _gn_hg_hybrid(rot, trans, x, sq, gy, gx, X, tgt, wgt, intr4,
+                  radius, block_size):
+    from sndepth_tpu.kernels.gn_build import gn_build_hg
+    return gn_build_hg(rot, trans, x, sq, gy, gx, X, tgt, wgt, intr4,
+                       radius)
+
+
+def _gn_hg_fwd(rot, trans, x, sq, gy, gx, X, tgt, wgt, intr4, radius,
+               block_size):
+    out = _gn_hg_hybrid(rot, trans, x, sq, gy, gx, X, tgt, wgt, intr4,
+                        radius, block_size)
+    return out, (rot, trans, x, sq, gy, gx, X, tgt, wgt, intr4)
+
+
+def _gn_hg_bwd(radius, block_size, res, ct):
+    args = res
+    _, vjp = jax.vjp(
+        lambda rot, trans, x, sq, X, tgt, wgt, intr4: _hg_xla(
+            rot, trans, x, sq, args[4], args[5], X, tgt, wgt, intr4,
+            radius, block_size),
+        args[0], args[1], args[2], args[3], args[6], args[7], args[8],
+        args[9])
+    d = vjp(ct)
+    return (d[0], d[1], d[2], d[3], jnp.zeros_like(args[4]),
+            jnp.zeros_like(args[5]), d[4], d[5], d[6], d[7])
+
+
+_gn_hg_hybrid.defvjp(_gn_hg_fwd, _gn_hg_bwd)
+
+
+def gauss_newton_step(Ts: Array, ae: Array, target: Array, weight: Array,
+                      depth: Array, intrinsics: Array, radius: int = 32,
+                      lm: float = 1e-4, ep: float = 10.0,
+                      block_size: int | None = None) -> Array:
+    """One dense embedding-weighted Gauss-Newton update
+    (`se3_field.py:146-167` + the semantics of the ``se3_build_inplace``
+    CUDA kernel).
+
+    Per pixel i the 6x6 normal equations accumulate, over every pixel j
+    within ``radius`` (grid units), the reprojection residual of T_i
+    applied to point X_j against target_j, weighted by the per-channel
+    confidence w_j and the embedding attention
+    ``sigmoid(-||ae_i/8 - ae_j/8||^2)`` (`se3_field.py:111-121,154`).
+
+    Ts: (B, H, W, 7); ae: (B, H, W, 32); target/weight: (B, H, W, 3);
+    depth: (B, H, W); intrinsics: (B, 4).
+
+    The per-pair object is O(N^2): single-shot up to ~2k pixels (KITTI
+    1/8-res is 832), otherwise the j axis is accumulated in
+    ``block_size`` chunks under ``lax.scan`` (O(N * block) memory, same
+    math — sums just reassociate), which keeps full-resolution KITTI
+    (47x156 = 7.3k pixels, 3.9 GB if materialized) on-chip.
+    """
+    b, h, w, _ = Ts.shape
+    n = h * w
+    f32 = jnp.float32
+
+    pts = pops.inv_project(depth, intrinsics).astype(f32)     # B,H,W,3
+    x = (ae.astype(f32) / 8.0).reshape(b, n, -1)
+    sq = jnp.sum(x * x, axis=-1)
+    gy = jnp.repeat(jnp.arange(h), w)
+    gx = jnp.tile(jnp.arange(w), h)
+    T_flat = Ts.reshape(b, n, 7).astype(f32)
+    rot = se3.matrix(T_flat)[..., :3, :3]                      # B,Ni,3,3
+    trans = T_flat[..., :3]                                    # B,Ni,3
+    X = pts.reshape(b, n, 3)                                   # B,Nj,3
+    tgt = target.astype(f32).reshape(b, n, 3)                  # B,Nj,3
+    wgt = weight.astype(f32).reshape(b, n, 3)
+    intr4 = intrinsics[:, :4].astype(f32)
+
     if block_size is None:
         # Single shot keeps the O(N^2) intermediates; beyond ~2k pixels
         # (B, Ni, 6, 3Nj) blows past HBM comfort — accumulate in blocks.
         block_size = n if n <= 2048 else 1024
 
-    if block_size >= n:
-        H, g = accumulate(X, x, sq, gy, gx, tgt, wgt)
+    if n > 2048 and jax.default_backend() in ("tpu", "axon"):
+        # Full-resolution sizes: the fused Pallas build (kernels/
+        # gn_build.py) — the XLA chunked form materializes ~540 MB
+        # Jacobian tensors per chunk and 0.2%-MXU-util Grams (r4 trace:
+        # 812 of the 886 ms full-res frame in that loop). Forward via
+        # the kernel; backward (training-scale only) re-derives through
+        # the XLA accumulate.
+        H, g = _gn_hg_hybrid(rot, trans, x, sq,
+                             gy.astype(f32), gx.astype(f32), X, tgt,
+                             wgt, intr4, radius, block_size)
     else:
-        nb = -(-n // block_size)
-        npad = nb * block_size
-
-        def padj(a, fill=0.0):
-            pad = [(0, 0), (0, npad - n)] + [(0, 0)] * (a.ndim - 2)
-            return jnp.pad(a, pad, constant_values=fill)
-
-        # Padded js carry zero confidence and an off-grid position, so
-        # they contribute nothing. Their point is (0, 0, 1) — z=1 keeps
-        # 1/Pz finite (0 would make J infinite and 0*inf = NaN the sums).
-        zpoint = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], f32),
-                                  (b, npad - n, 3))
-        Xp = jnp.concatenate([X, zpoint], axis=1)
-        xp, tgtp, wgtp = padj(x), padj(tgt), padj(wgt)
-        sqp = jnp.pad(sq, ((0, 0), (0, npad - n)))
-        gyp = jnp.pad(gy, (0, npad - n), constant_values=10 ** 6)
-        gxp = jnp.pad(gx, (0, npad - n), constant_values=10 ** 6)
-
-        def body(carry, i):
-            def slj(a):
-                return jax.lax.dynamic_slice_in_dim(a, i * block_size,
-                                                    block_size, axis=1)
-            Hc, gc = accumulate(
-                slj(Xp), slj(xp), slj(sqp),
-                jax.lax.dynamic_slice_in_dim(gyp, i * block_size,
-                                             block_size),
-                jax.lax.dynamic_slice_in_dim(gxp, i * block_size,
-                                             block_size),
-                slj(tgtp), slj(wgtp))
-            return (carry[0] + Hc, carry[1] + gc), None
-
-        init = (jnp.zeros((b, n, 6, 6), f32), jnp.zeros((b, n, 6), f32))
-        (H, g), _ = jax.lax.scan(body, init, jnp.arange(nb))
+        H, g = _hg_xla(rot, trans, x, sq, gy, gx, X, tgt, wgt, intr4,
+                       radius, block_size)
 
     eye = jnp.eye(6, dtype=f32)
     H = H + lm * H * eye + ep * eye

@@ -6,8 +6,10 @@ state, forced by one final scalar fetch. Usage:
 Default: all variants. Each variant is measured in its own process run
 ideally; within one process each gets its own jit program + state.
 """
+import os
 import sys
 import time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

@@ -7,7 +7,8 @@ then one clip-train step at a reduced-but-substantial image size.
 Honest protocol: chained distinct frames, forced by a scalar fetch.
 Usage: python _scratch_uniad_refscale.py [infer|train] [--img H W]
 """
-import sys, time
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax, jax.numpy as jnp
 

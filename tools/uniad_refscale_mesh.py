@@ -36,9 +36,16 @@ def main():
                     help="stop after compile + memory_analysis")
     args = ap.parse_args()
 
+    # On one physical core the N virtual devices timeshare, so XLA:CPU's
+    # default 40 s collective rendezvous deadline fires mid-step at
+    # reference scale — raise it (observed: collective-permute rendezvous
+    # termination with 3/8 arrivals).
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
-        + f" --xla_force_host_platform_device_count={args.devices}")
+        + f" --xla_force_host_platform_device_count={args.devices}"
+        + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
+        + " --xla_cpu_collective_timeout_seconds=7200")
     import jax
     jax.config.update("jax_platforms", "cpu")   # env override is latched
     import functools

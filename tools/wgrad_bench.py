@@ -30,10 +30,11 @@ SHAPES = [
 
 
 def conv(x, w):
+    # Output bf16 like the train-step convs (f32 accumulate internal).
     return jax.lax.conv_general_dilated(
         x, w, (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
 
 
 def wgrad_xla(x, dy, ci, co):
@@ -54,9 +55,9 @@ def wgrad_tapstack(x, dy, ci, co):
 def wgrad_fold2(x, dy, ci, co):
     from sndepth_tpu.models.dispnet import _fold_conv, _s2d_f
     w0 = jnp.zeros((3, 3, ci, co), jnp.float32)
-    dy_p = _s2d_f(dy.astype(jnp.float32), 2)
+    dy_p = _s2d_f(dy, 2)
     return jax.vjp(lambda wv: _fold_conv(x, wv, jnp.bfloat16, 2),
-                   w0)[1](dy_p)[0]
+                   w0)[1](dy_p.astype(jnp.bfloat16))[0]
 
 
 FORMS = dict(xla=wgrad_xla, tapstack=wgrad_tapstack, fold2=wgrad_fold2)
