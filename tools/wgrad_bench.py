@@ -30,11 +30,11 @@ SHAPES = [
 
 
 def conv(x, w):
-    # Output bf16 like the train-step convs (f32 accumulate internal).
+    # bf16 in/out like the train-step convs (MXU accumulates f32
+    # internally); no explicit cast so the vjp cotangent stays bf16.
     return jax.lax.conv_general_dilated(
         x, w, (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 def wgrad_xla(x, dy, ci, co):
@@ -82,7 +82,8 @@ def main():
 
             def chain(x, dy, i, K, fn=fn, ci=ci, co=co):
                 def body(c, j):
-                    dw = fn(x + (i + j) * 1e-6, dy, ci, co)
+                    eps = ((i + j) * 1e-6).astype(x.dtype)
+                    dw = fn(x + eps, dy, ci, co)
                     return c + jnp.sum(dw.astype(jnp.float32)), None
                 return jax.lax.scan(
                     body, 0.0, jnp.arange(K, dtype=jnp.float32))[0]
