@@ -121,10 +121,9 @@ def _kernel(idata_ref, jdata_ref, intr_ref, out_ref, *, nj, radius):
 
     acc = jax.lax.fori_loop(0, nj // 128, body, tuple(acc))
 
-    out = jnp.zeros((8, 128), jnp.float32)
-    for k, a in enumerate(acc):
-        out = out.at[:, k:k + 1].set(jnp.sum(a, axis=1, keepdims=True))
-    out_ref[0, 0] = out
+    sums = [jnp.sum(a, axis=1, keepdims=True) for a in acc]   # (8,1) x27
+    pad = jnp.zeros((8, 128 - len(acc)), jnp.float32)
+    out_ref[0, 0] = jnp.concatenate(sums + [pad], axis=1)
 
 
 def _interpret() -> bool:

@@ -44,8 +44,8 @@ def main():
         os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={args.devices}"
         + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
-        + " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
-        + " --xla_cpu_collective_timeout_seconds=7200")
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=28800"
+        + " --xla_cpu_collective_timeout_seconds=28800")
     import jax
     jax.config.update("jax_platforms", "cpu")   # env override is latched
     import functools
