@@ -54,6 +54,25 @@ Landed since (round 3):
   backward closed forms (models/dispnet.py:_deconv2x — XLA's was a
   full-res dy reverse + the worst-laned wgrads).
 
+Landed since (round 4):
+* ``gn_build`` — fused dense-SE3 Gauss-Newton system build (the
+  reference's ``se3_build_inplace`` CUDA kernel): per 8-pixel i-group,
+  j streamed in 128-wide lane chunks, the Jacobian built on the fly in
+  registers (exact-zero entries skipped) and the 21 unique H + 6 g
+  entries accumulated as (8,128) running sums — no Jacobian tensor ever
+  materializes. Replaces the XLA blocked form (540 MB J per chunk,
+  0.2%-MXU-util batched 6x6 Grams) above 2k pixels, behind a custom VJP
+  whose backward re-derives through the XLA path. Full-res RAFT3D
+  886 -> 186.6 ms/frame wall (device trace 2531 -> 277 ms/step).
+* Gather-restructure negative results (all built, kernel- AND
+  step-measured — see docs/PERF.md r4 addendum): bf16 pair-packed lane
+  gathers (SNDEPTH_WARP_GATHER=pack, halves take count, ~no change);
+  two-stage plane form (SNDEPTH_PHOTO_PLANE, per-tile row-table assembly
+  + whole-plane lane gathers, -1.3%). Takes are already overlapped in
+  the integrated band paths; stub-removal deltas and isolated take
+  streams both overstate the recoverable time. Both knobs kept,
+  default off.
+
 Roadmap:
 * Pallas conv: largely OBSOLETED at the XLA level — the planned
   "4-output-pixel lane packing" is exactly a 2x2 space-to-depth fold,
