@@ -26,17 +26,36 @@ import argparse
 import glob
 import json
 import os
+import shutil
 
 
 def _convert(kind: str, out_dir: str, **kw) -> str:
     from sndepth_tpu.cli import convert_weights
     out = os.path.join(out_dir, "converted", kind)
-    if not os.path.isdir(out):
+    # Cache key: source checkpoint paths + mtimes. A partially written
+    # directory from a crashed run, or an updated reference .pth, must
+    # not silently reuse stale converted params (ADVICE r4) — convert
+    # into a temp dir and atomically rename on success.
+    srcs = sorted(str(v) for v in kw.values())
+    stamp = json.dumps([[s, os.path.getmtime(s)] for s in srcs
+                        if os.path.exists(s)])
+    stamp_file = out + ".src.json"
+    fresh = (os.path.isdir(out) and os.path.exists(stamp_file)
+             and open(stamp_file).read() == stamp)
+    if not fresh:
+        tmp = out + ".tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
         argv = [kind]
         for k, v in kw.items():
             argv += [f"--{k}", v]
-        argv += ["--out", out]
+        argv += ["--out", tmp]
         convert_weights.main(argv)
+        if os.path.isdir(out):
+            shutil.rmtree(out)
+        os.replace(tmp, out)
+        with open(stamp_file, "w") as f:
+            f.write(stamp)
     return out
 
 

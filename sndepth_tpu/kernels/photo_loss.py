@@ -681,12 +681,15 @@ def pair_ok(tgt: Array, ns: int) -> bool:
     ht, wt, nch = tgt.shape[1], tgt.shape[2], tgt.shape[3]
     if ht % _SUB:
         return False            # pool row-padding not handled (unused)
-    plane = _round_up(ht, _SUB) * _round_up(wt, _LANE) * 4
+    wtp = _round_up(wt, _LANE)
+    plane = _round_up(ht, _SUB) * wtp * 4
     # coords 4ns + srcs ns*nch + tgt nch + grads 4ns + scratch 5nch
-    # (+ _BK*nch row tables + fb mask for the plane form), x2 for grid
-    # double-buffering of the per-image input blocks.
-    resident = plane * (2 * (8 * ns + (ns + 1) * nch) + 5 * nch + 4
-                        + _BK * nch + 1)
+    # (+ _BK*nch row tables + fb mask, allocated only when the plane
+    # form is actually enabled), x2 for grid double-buffering of the
+    # per-image input blocks.
+    resident = plane * (2 * (8 * ns + (ns + 1) * nch) + 5 * nch + 4)
+    if wtp == _LANE and _PLANE != "0":
+        resident += plane * (_BK * nch + 1)
     return resident <= 48 * 1024 * 1024
 
 

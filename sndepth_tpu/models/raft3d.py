@@ -723,7 +723,11 @@ def gauss_newton_step(Ts: Array, ae: Array, target: Array, weight: Array,
         # (B, Ni, 6, 3Nj) blows past HBM comfort — accumulate in blocks.
         block_size = n if n <= 2048 else 1024
 
-    if n > 2048 and jax.default_backend() in ("tpu", "axon"):
+    if (n > 2048 and x.shape[-1] == 32
+            and jax.default_backend() in ("tpu", "axon")):
+        # The Pallas kernel hardcodes the 32-wide embedding layout
+        # (_EMB/_NJROWS in kernels/gn_build.py); bilaplacian mode uses
+        # ae_dim=16, which must stay on the XLA accumulate path.
         # Full-resolution sizes: the fused Pallas build (kernels/
         # gn_build.py) — the XLA chunked form materializes ~540 MB
         # Jacobian tensors per chunk and 0.2%-MXU-util Grams (r4 trace:

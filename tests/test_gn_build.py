@@ -66,3 +66,46 @@ def test_gn_hybrid_backward_matches_xla_grads():
     for a, b in zip(g_h, g_x):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=3e-4)
+
+def test_gauss_newton_dispatch_guards_embedding_width(monkeypatch):
+    """bilaplacian mode (ae_dim=16) must never reach the Pallas kernel,
+    whose layout hardcodes the 32-wide embedding (_EMB/_NJROWS) — on a
+    TPU backend at n>2048 the dispatch falls back to the XLA path."""
+    from sndepth_tpu.models import raft3d as R
+
+    calls = {"hybrid": 0, "xla": 0}
+
+    def fake_hybrid(*a, **k):
+        calls["hybrid"] += 1
+        raise AssertionError("16-wide ae routed to the Pallas kernel")
+
+    def fake_xla(rot, trans, *a, **k):
+        calls["xla"] += 1
+        b, n = rot.shape[:2]
+        return (jnp.tile(jnp.eye(6, dtype=jnp.float32), (b, n, 1, 1)),
+                jnp.zeros((b, n, 6), jnp.float32))
+
+    monkeypatch.setattr(R, "_gn_hg_hybrid", fake_hybrid)
+    monkeypatch.setattr(R, "_hg_xla", fake_xla)
+    monkeypatch.setattr(R.jax, "default_backend", lambda: "tpu")
+
+    b, h, w = 1, 48, 48                     # n = 2304 > 2048
+    rng = np.random.RandomState(0)
+    Ts = jnp.concatenate([jnp.zeros((b, h, w, 3)),
+                          jnp.zeros((b, h, w, 3)),
+                          jnp.ones((b, h, w, 1))], -1)
+    tgt = jnp.asarray(rng.randn(b, h, w, 3).astype(np.float32))
+    wgt = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+    depth = jnp.ones((b, h, w), jnp.float32) * 2.0
+    K = jnp.asarray([[20.0, 21.0, 4.0, 3.0]], np.float32)
+
+    # 16-wide ae (bilaplacian) -> XLA path only
+    ae16 = jnp.asarray(rng.randn(b, h, w, 16).astype(np.float32))
+    R.gauss_newton_step(Ts, ae16, tgt, wgt, depth, K, radius=3)
+    assert calls == {"hybrid": 0, "xla": 1}
+
+    # 32-wide ae -> the Pallas hybrid is selected
+    ae32 = jnp.asarray(rng.randn(b, h, w, 32).astype(np.float32))
+    with pytest.raises(AssertionError, match="routed"):
+        R.gauss_newton_step(Ts, ae32, tgt, wgt, depth, K, radius=3)
+    assert calls["hybrid"] == 1

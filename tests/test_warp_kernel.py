@@ -385,3 +385,39 @@ def test_kernel_x1roll_matches(case, monkeypatch):
         test_kernel_bandk_path_matches()
     else:
         test_kernel_matches_both_modes_random_coords()
+
+
+def test_photo_pair_plane_matches_exact(monkeypatch):
+    """SNDEPTH_PHOTO_PLANE (whole-plane row tables + one-hot blend at
+    wtp == _LANE) must match the default pair kernel exactly — loss and
+    both coordinate gradients — across fast-band, band-K, and slow-path
+    tiles, in both modes (ADVICE r4: this path previously had no CPU
+    interpreter parity coverage)."""
+    import sndepth_tpu.kernels.photo_loss as PL
+    rng = np.random.RandomState(17)
+    b, ns, h, w, c = 1, 2, 24, 120, 3          # wtp == 128 == _LANE
+    tgt = jnp.asarray(rng.rand(b, h, w, c), jnp.float32)
+    srcs = jnp.asarray(rng.rand(b, ns, h, w, c), jnp.float32)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    grid = np.stack([xs, ys], -1)[None, None].repeat(ns, 1)
+    cf = np.asarray(grid + rng.uniform(-0.45, 0.45, grid.shape),
+                    np.float32)
+    cb = np.asarray(grid - rng.uniform(-0.45, 0.45, grid.shape),
+                    np.float32)
+    cf[0, 0, ..., 1] += 2.0 * np.sin(xs / 20.0)       # band-K rows
+    cb[0, 1] = rng.uniform(-20, 140, cb[0, 1].shape)  # slow-path tiles
+    cf, cb = jnp.asarray(cf), jnp.asarray(cb)
+
+    for mode in ("edge_zero", "zero_pad"):
+        monkeypatch.setattr(PL, "_PLANE", "0")
+        loss0, dcf0, dcb0 = PL._pair_run(tgt, srcs, cf, cb, 0.85, mode,
+                                         need_grad=True)
+        monkeypatch.setattr(PL, "_PLANE", "1")
+        loss1, dcf1, dcb1 = PL._pair_run(tgt, srcs, cf, cb, 0.85, mode,
+                                         need_grad=True)
+        np.testing.assert_allclose(float(loss1), float(loss0),
+                                   rtol=1e-6, err_msg=mode)
+        for g1, g0 in ((dcf1, dcf0), (dcb1, dcb0)):
+            np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                       rtol=1e-5, atol=1e-5,
+                                       err_msg=mode)
