@@ -25,6 +25,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from sndepth_tpu.ops.norm import BatchNorm
+
 Array = jax.Array
 
 
@@ -140,7 +142,7 @@ class MBConv(nn.Module):
             h = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype,
                         name="Conv_0")(h)
             n_conv = 1
-            h = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+            h = BatchNorm(use_running_average=not train, epsilon=1e-3,
                              dtype=self.dtype)(h)
             h = nn.silu(h)
         if self.shift_depthwise:
@@ -152,14 +154,14 @@ class MBConv(nn.Module):
                         strides=(self.stride,) * 2, padding="SAME",
                         feature_group_count=mid, use_bias=False,
                         dtype=self.dtype, name=f"Conv_{n_conv}")(h)
-        h = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+        h = BatchNorm(use_running_average=not train, epsilon=1e-3,
                          dtype=self.dtype)(h)
         h = nn.silu(h)
         h = SqueezeExcite(max(1, int(self.in_ch * s.se_ratio)),
                           self.dtype)(h)
         h = nn.Conv(s.out_ch, (1, 1), use_bias=False, dtype=self.dtype,
                     name=f"Conv_{n_conv + 1}")(h)
-        h = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+        h = BatchNorm(use_running_average=not train, epsilon=1e-3,
                          dtype=self.dtype)(h)
         if self.stride == 1 and self.in_ch == s.out_ch:
             h = h + residual
@@ -184,7 +186,7 @@ class EfficientNetEncoder(nn.Module):
         feats: dict[str, Array] = {}
         h = nn.Conv(self.stem_ch, (3, 3), strides=(2, 2), padding="SAME",
                     use_bias=False, dtype=self.dtype)(x)
-        h = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+        h = BatchNorm(use_running_average=not train, epsilon=1e-3,
                          dtype=self.dtype)(h)
         h = nn.silu(h)
         feats["stem"] = h
@@ -201,7 +203,7 @@ class EfficientNetEncoder(nn.Module):
 
         h = nn.Conv(self.head_ch, (1, 1), use_bias=False,
                     dtype=self.dtype)(h)
-        h = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+        h = BatchNorm(use_running_average=not train, epsilon=1e-3,
                          dtype=self.dtype)(h)
         h = nn.silu(h)
         feats["head"] = h

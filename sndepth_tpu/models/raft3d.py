@@ -25,6 +25,7 @@ body, no per-iteration retracing.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any
 
 import flax.linen as nn
@@ -540,6 +541,27 @@ def cholesky_solve6(H: Array, g: Array) -> Array:
     return jnp.stack(x, axis=-1)
 
 
+@jax.custom_jvp
+def _sqrt0(a):
+    """sqrt with derivative 0 at 0. The GN build folds attention*weight
+    into the Gram as sqrt(aw); plain sqrt's derivative at the radius-
+    masked pairs (aw == 0) is inf, which NaN-poisons every gradient
+    through `_hg_xla` (hidden for two rounds because the backward test
+    compared two NaN paths — assert_allclose treats NaN == NaN as
+    equal). At aw == 0 the true contribution gradients through both
+    factors are 0 (the mask also zeroes d attn/d dist), so a zero
+    derivative is exact everywhere except exactly-zero real confidence
+    weights, a measure-zero set."""
+    return jnp.sqrt(a)
+
+
+@_sqrt0.defjvp
+def _sqrt0_jvp(primals, tangents):
+    (a,), (da,) = primals, tangents
+    s = jnp.sqrt(a)
+    return s, jnp.where(a > 0, 0.5 / jnp.where(a > 0, s, 1.0), 0.0) * da
+
+
 def _hg_xla(rot, trans, x, sq, gy, gx, X, tgt, wgt, intr4,
             radius: int, block_size: int):
     """Blocked XLA build of the dense-GN (H, g) — see gauss_newton_step.
@@ -595,8 +617,10 @@ def _hg_xla(rot, trans, x, sq, gy, gx, X, tgt, wgt, intr4,
         # Fold attention*confidence in as sqrt so H = A A^T and g = A r in
         # one batched matmul each over K = 3*cj (weights are non-negative,
         # so the sqrt factorization is exact) — 2.8x faster than 36
-        # separate plane reductions on v5e.
-        sq_aw = jnp.sqrt(aw)
+        # separate plane reductions on v5e. _sqrt0 (not jnp.sqrt): the
+        # radius-masked pairs have aw == 0 and sqrt's inf derivative
+        # there NaN-poisons the whole backward.
+        sq_aw = _sqrt0(aw)
         cj = Xj.shape[1]
         A = (J * sq_aw[:, :, :, None, :]).transpose(0, 2, 3, 1, 4)
         A = A.reshape(b, n, 6, 3 * cj)                     # B,Ni,6,3cj
@@ -664,6 +688,16 @@ def _gn_hg_fwd(rot, trans, x, sq, gy, gx, X, tgt, wgt, intr4, radius,
 
 def _gn_hg_bwd(radius, block_size, res, ct):
     args = res
+    if os.environ.get("SNDEPTH_GN_BWD", "pallas") != "xla":
+        # Fused Pallas backward (kernels/gn_build.py): two mirror kernels
+        # differentiating the forward's pair-contribution helper in-kernel
+        # — no ~540 MB Jacobian chunks at full resolution.
+        from sndepth_tpu.kernels.gn_build import gn_build_hg_bwd
+        d = gn_build_hg_bwd(args[0], args[1], args[2], args[3], args[4],
+                            args[5], args[6], args[7], args[8], args[9],
+                            radius, ct[0], ct[1])
+        return (d[0], d[1], d[2], d[3], jnp.zeros_like(args[4]),
+                jnp.zeros_like(args[5]), d[4], d[5], d[6], d[7])
     _, vjp = jax.vjp(
         lambda rot, trans, x, sq, X, tgt, wgt, intr4: _hg_xla(
             rot, trans, x, sq, args[4], args[5], X, tgt, wgt, intr4,
@@ -732,8 +766,8 @@ def gauss_newton_step(Ts: Array, ae: Array, target: Array, weight: Array,
         # gn_build.py) — the XLA chunked form materializes ~540 MB
         # Jacobian tensors per chunk and 0.2%-MXU-util Grams (r4 trace:
         # 812 of the 886 ms full-res frame in that loop). Forward via
-        # the kernel; backward (training-scale only) re-derives through
-        # the XLA accumulate.
+        # the kernel; backward via the fused Pallas mirror kernels
+        # (SNDEPTH_GN_BWD=xla re-derives through the XLA accumulate).
         H, g = _gn_hg_hybrid(rot, trans, x, sq,
                              gy.astype(f32), gx.astype(f32), X, tgt,
                              wgt, intr4, radius, block_size)

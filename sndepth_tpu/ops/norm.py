@@ -22,6 +22,7 @@ inside the rsqrt, scale/bias applied then cast to ``dtype``.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import flax.linen as nn
@@ -79,3 +80,109 @@ class BlockedGroupNorm(nn.Module):
                               jnp.float32)
             y = y + bias
         return y.astype(self.dtype or x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Lane-folded BatchNorm
+# ---------------------------------------------------------------------------
+
+def _bn_fold_factor(shape: tuple, max_f: int = 16) -> int:
+    """Largest-utilization fold of the trailing spatial axis into lanes.
+
+    NHWC BatchNorm ops put C on lanes; EfficientNet-B5's narrow stages
+    (C = 24/40/48/64) run every stats reduce and normalize at C/128 lane
+    utilization, and the mid channels (144, 240, ...) waste most of a
+    second tile. Folding W into the channel axis — ``(..., W, C) ->
+    (..., W/f, f*C)``, a FREE reshape in row-major NHWC — lifts
+    utilization to ``f*C / (128 * ceil(f*C/128))``. Returns the smallest
+    f (dividing W, f <= max_f) that maximizes that utilization; 1 when
+    folding is disabled (SNDEPTH_BN_FOLD, default off until A/B'd on
+    hardware) or never helps.
+    """
+    if os.environ.get("SNDEPTH_BN_FOLD", "0") == "0":
+        return 1
+    if len(shape) < 3:
+        return 1
+    c, w = shape[-1], shape[-2]
+
+    def util(f):
+        return (f * c) / (128.0 * -(-(f * c) // 128))
+
+    best, best_u = 1, util(1)
+    for f in range(2, max_f + 1):
+        if w % f == 0 and util(f) > best_u + 1e-9:
+            best, best_u = f, util(f)
+    return best
+
+
+class BatchNorm(nn.BatchNorm):
+    """``nn.BatchNorm`` drop-in with lane-folded stats/normalize.
+
+    The class is deliberately named ``BatchNorm`` so flax auto-naming
+    produces the same ``BatchNorm_i`` parameter paths as the stock
+    module — converted checkpoints and existing param trees load
+    unchanged. Semantics match ``nn.BatchNorm`` (fast-variance f32
+    stats, momentum EMA skipped at init, result dtype promotion); the
+    only difference is the free ``(..., W, C) -> (..., W/f, f*C)``
+    reshape around the reduces and the elementwise normalize, chosen by
+    :func:`_bn_fold_factor` (identity unless SNDEPTH_BN_FOLD=1).
+    Parity (fwd train/eval, grads, EMA) is tested against
+    ``nn.BatchNorm`` in tests/test_norm.py.
+    """
+
+    @nn.compact
+    def __call__(self, x: Array, use_running_average: bool | None = None,
+                 *, mask: Array | None = None) -> Array:
+        if (mask is not None or self.axis != -1
+                or self.axis_name is not None
+                or not self.use_fast_variance
+                or not self.force_float32_reductions):
+            raise NotImplementedError(
+                "lane-folded BatchNorm supports the default axis=-1 "
+                "fast-variance configuration only")
+        use_ra = nn.module.merge_param(
+            "use_running_average", self.use_running_average,
+            use_running_average)
+        c = x.shape[-1]
+        f = _bn_fold_factor(x.shape)
+        fold = x.shape[:-2] + (x.shape[-2] // f, f * c)
+
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32),
+            (c,))
+        ra_var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32),
+            (c,))
+
+        xf = x.reshape(fold).astype(jnp.float32)
+        if use_ra:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            red = tuple(range(xf.ndim - 1))
+            mu_f = jnp.mean(xf, red)                        # (f*C,)
+            mu2_f = jnp.mean(xf * xf, red)
+            mean = jnp.mean(mu_f.reshape(f, c), 0)
+            mu2 = jnp.mean(mu2_f.reshape(f, c), 0)
+            var = jnp.maximum(0.0, mu2 - mean * mean)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var)
+
+        mul = jax.lax.rsqrt(var + self.epsilon)
+        args = [x]
+        if self.use_scale:
+            scale = self.param("scale", self.scale_init, (c,),
+                               self.param_dtype)
+            mul = mul * scale
+            args.append(scale)
+        y = (xf - jnp.tile(mean, f)) * jnp.tile(mul, f)
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (c,),
+                              self.param_dtype)
+            y = y + jnp.tile(bias, f)
+            args.append(bias)
+        from flax.linen import dtypes as _dtypes
+        dtype = _dtypes.canonicalize_dtype(*args, dtype=self.dtype)
+        return y.reshape(x.shape).astype(dtype)
