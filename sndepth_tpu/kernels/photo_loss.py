@@ -104,6 +104,15 @@ _PLANE = os.environ.get("SNDEPTH_PHOTO_PLANE", "0")
 # so the matmul IS the 3-tap sum in f32.
 _POOL = os.environ.get("SNDEPTH_PHOTO_POOL", "row")
 
+# Matmul-pool input dtype: "bf16" feeds the banded pool matmuls bf16
+# operands (MXU-native rate; accumulation stays f32 via
+# preferred_element_type, so only the operand rounding is lost — images
+# live in [0, 1], ~2^-9 relative). Relaxed numerics: parity is judged at
+# metric level; A/B loss drift before defaulting (r4 VERDICT lever b).
+_POOL_DT = (jnp.bfloat16
+            if os.environ.get("SNDEPTH_PHOTO_POOL_DTYPE", "f32") == "bf16"
+            else jnp.float32)
+
 
 def _tridiag(n: int, shift: int = 0):
     """(n + 2*shift, n) 0/1 band: out[i, j] = 1 iff |i - shift - j| <= 1."""
@@ -118,13 +127,17 @@ def _make_pool(pbuf, htp, wtp):
         return lambda v: _pool3(pbuf, v, htp, wtp)
     th = _tridiag(wtp)                       # (wtp, wtp), symmetric
     if _POOL == "row":
-        thp = _tridiag(wtp, shift=1)         # (wtp + 2, wtp)
+        # _POOL_DT applies here only: the single-matmul row pool loses
+        # just the operand rounding (f32 accumulate); the two-matmul mxu
+        # pool would round the intermediate too, which measurably flips
+        # clip boundaries in the DSSIM adjoint (tests).
+        thp = _tridiag(wtp, shift=1).astype(_POOL_DT)   # (wtp + 2, wtp)
 
         def pool(v):
             pbuf[1:htp + 1, 1:wtp + 1] = v
             col = (pbuf[0:htp, :] + pbuf[1:htp + 1, :]
                    + pbuf[2:htp + 2, :])     # (htp, wtp + 2)
-            return jax.lax.dot(col, thp,
+            return jax.lax.dot(col.astype(_POOL_DT), thp,
                                preferred_element_type=jnp.float32) / 9.0
         return pool
 

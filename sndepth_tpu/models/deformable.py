@@ -51,7 +51,23 @@ def _msda_core(value, spatial_shapes, sampling_locations,
         # (grid_sample in the torch fallback): x_px = loc * W - 0.5.
         px = loc * jnp.asarray([w, h], loc.dtype) - 0.5
         px = px.transpose(0, 2, 1, 3, 4).reshape(b * heads, nq, P, 2)
-        sampled = bilinear_sampler_zero_pad(v, px)         # BH, nq, P, D
+        npx = nq * P
+        if npx % 128 == 0 and os.environ.get(
+                "SNDEPTH_MSDA_COORDS", "flat") == "flat":
+            # Lane-pack the sample coordinates: the sampler treats its
+            # target as an (Ht, Wt) plane with Wt on lanes; the natural
+            # (nq, P) layout is 8 lanes wide (6% utilization) and tiles
+            # the Pallas warp kernel pathologically. Pixels are
+            # independent, so folding to 128-wide rows is a free, exact
+            # reshape — neighboring BEV queries project to nearby image
+            # points, which also re-enables the kernel's coherent-band
+            # fast paths. (Found via the r5 refscale bisect: the BEV
+            # encoder was 48.2 s of the 48.2 s frame.)
+            pxf = px.reshape(b * heads, npx // 128, 128, 2)
+            sampled = bilinear_sampler_zero_pad(v, pxf)
+            sampled = sampled.reshape(b * heads, nq, P, dim)
+        else:
+            sampled = bilinear_sampler_zero_pad(v, px)     # BH, nq, P, D
         wgt = attention_weights[:, :, :, lvl]              # B, nq, H, P
         wgt = wgt.transpose(0, 2, 1, 3).reshape(b * heads, nq, P, 1)
         outputs.append(jnp.sum(sampled * wgt, axis=2))     # BH, nq, D

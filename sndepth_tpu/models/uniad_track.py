@@ -324,9 +324,16 @@ class UniADTrack(nn.Module):
                                   obj_idxes=tracks.obj_idxes,
                                   track_scores=track_scores)
 
-        # Keep the carried BEV in the state's dtype: a bf16 model otherwise
-        # changes prev_bev's dtype after frame 1 and every later frame
-        # recompiles (diagnosed on TPU: 23.5 s "frame" = recompilation).
+        # Keep the carried state's dtypes: a bf16 model otherwise changes
+        # prev_bev's — and (r5) the track fields' (ref_pts/scores/
+        # pred_logits/pred_boxes pick up bf16 from the heads) — dtypes
+        # after frame 1, and every later frame recompiles (diagnosed on
+        # TPU twice: 23.5 s "frame" r3; a ~390 s refscale recompile
+        # hiding inside the r5 steady loop).
+        tracks = jax.tree_util.tree_map(
+            lambda new, old: (new.astype(old.dtype)
+                              if hasattr(old, "dtype") else new),
+            tracks, state.tracks)
         new_state = TrackState(
             prev_bev=bev.astype(state.prev_bev.dtype), tracks=tracks,
             next_obj_id=next_obj_id,

@@ -53,7 +53,13 @@ def _use_pallas(imgs: Array, coords: Array) -> bool:
     npix = coords.shape[1] * coords.shape[2]
     plane_bytes = (imgs.shape[1] * ((imgs.shape[2] + 127) // 128 * 128)
                    * imgs.shape[3] * 4)
-    return (npix >= 512 and plane_bytes <= 6 * 1024 * 1024
+    # 8 MB admits the UniAD refscale TSA value plane (200x200x32 =
+    # 6.55 MB; A/B'd r5: 1166 -> 1000 ms/encoder-layer) while still
+    # excluding feature-map warps whose out-block stack would blow the
+    # scoped-VMEM budget (the channel gate below bounds those anyway).
+    plane_cap = int(float(os.environ.get("SNDEPTH_WARP_PLANE_MB", "8"))
+                    * 1024 * 1024)
+    return (npix >= 512 and plane_bytes <= plane_cap
             and imgs.shape[3] <= 32)
 
 

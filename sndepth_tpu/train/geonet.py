@@ -145,11 +145,23 @@ def geonet_forward(params: dict, batch: dict, config: GeoNetConfig):
 def geonet_loss(params: dict, batch: dict, config: GeoNetConfig
                 ) -> tuple[Array, dict]:
     """Total GeoNet loss for one preprocessed batch."""
+    _, depths, poses = geonet_forward(params, batch, config)
+    return geonet_loss_tail(params, depths, poses, batch, config)
+
+
+def geonet_loss_tail(params: dict, depths: list, poses: Array,
+                     batch: dict, config: GeoNetConfig
+                     ) -> tuple[Array, dict]:
+    """Loss from network outputs (pyramids, rigid flows, photometric +
+    smooth terms; stage-2 flow losses when ``config.train_flow``).
+
+    Split from :func:`geonet_loss` so the whole-step floor ledger
+    (tools/step_ledger.py) can time the network pass and the loss tail
+    in isolation; ``params`` is only read by the stage-2 FlowNet branch.
+    """
     cfg = config
     b = batch["tgt"].shape[0]
     ns = cfg.num_source
-
-    _, depths, poses = geonet_forward(params, batch, cfg)
 
     # One pyramid over the (B*V)-flattened view stack; per-view slices are
     # recovered by (B, V) reshapes along the *inner* (unsharded) view axis,

@@ -389,3 +389,31 @@ def test_pair_portrait_orientation_matches(mode, monkeypatch):
                                atol=1e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(gcb1), np.asarray(gcb0),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_pair_pool_bf16_close_to_f32(monkeypatch):
+    """SNDEPTH_PHOTO_POOL_DTYPE=bf16 rounds the row-pool matmul operands
+    to bf16 (f32 accumulation; row pool only — the two-matmul mxu pool
+    would double-round) — relaxed numerics must stay within bf16
+    operand-rounding distance of the exact pools."""
+    import jax.numpy as jnp
+    from sndepth_tpu.kernels import photo_loss as pk
+    tgt, srcs, cf, cb = _pair_case(11, b=1, h=8, w=40)
+
+    monkeypatch.setattr(pk, "_POOL", "row")
+    base = float(pk._pair_run(tgt, srcs, cf, cb, ALPHA, "edge_zero",
+                              False)[0])
+    _, gcf0, gcb0 = pk._pair_run(tgt, srcs, cf, cb, ALPHA, "edge_zero",
+                                 True)
+
+    monkeypatch.setattr(pk, "_POOL_DT", jnp.bfloat16)
+    got = float(pk._pair_run(tgt, srcs, cf, cb, ALPHA, "edge_zero",
+                             False)[0])
+    _, gcf1, gcb1 = pk._pair_run(tgt, srcs, cf, cb, ALPHA, "edge_zero",
+                                 True)
+
+    np.testing.assert_allclose(got, base, rtol=3e-3)
+    np.testing.assert_allclose(np.asarray(gcf1), np.asarray(gcf0),
+                               atol=3e-2, rtol=5e-2)
+    np.testing.assert_allclose(np.asarray(gcb1), np.asarray(gcb0),
+                               atol=3e-2, rtol=5e-2)

@@ -62,6 +62,14 @@ if mode == "infer":
     state, s = frame(variables, state, imgs)
     _ = float(s)
     print(f"  first frame (compile+run): {time.time()-t0:.1f}s", flush=True)
+    # Second chained frame separately: the carried state's dtypes must be
+    # stable or this recompiles (the r3/r5 recompile bug class) — timing
+    # it alone keeps any such regression visible instead of smearing it
+    # into the steady mean.
+    t0 = time.time()
+    state, s = frame(variables, state, imgs + 1e-7)
+    _ = float(s)
+    print(f"  second frame (chained): {time.time()-t0:.1f}s", flush=True)
     t0 = time.time()
     n = 5
     for i in range(n):
