@@ -52,8 +52,19 @@ def _msda_core(value, spatial_shapes, sampling_locations,
         px = loc * jnp.asarray([w, h], loc.dtype) - 0.5
         px = px.transpose(0, 2, 1, 3, 4).reshape(b * heads, nq, P, 2)
         npx = nq * P
-        if npx % 128 == 0 and os.environ.get(
-                "SNDEPTH_MSDA_COORDS", "flat") == "flat":
+        layout = os.environ.get("SNDEPTH_MSDA_COORDS", "flat")
+        if npx % 128 == 0 and layout == "pmajor":
+            # Point-major: consecutive lanes hold the SAME point rank
+            # across 128 BEV-adjacent queries — per-rank image y varies
+            # slowly along a BEV row, so coord tiles get the tight
+            # y-spans the warp kernel's band fast paths want. Costs a
+            # (nq, P) transpose of coords and samples.
+            pxt = px.transpose(0, 2, 1, 3)             # BH, P, nq, 2
+            pxf = pxt.reshape(b * heads, npx // 128, 128, 2)
+            sampled = bilinear_sampler_zero_pad(v, pxf)
+            sampled = sampled.reshape(b * heads, P, nq, dim)
+            sampled = sampled.transpose(0, 2, 1, 3)    # BH, nq, P, D
+        elif npx % 128 == 0 and layout == "flat":
             # Lane-pack the sample coordinates: the sampler treats its
             # target as an (Ht, Wt) plane with Wt on lanes; the natural
             # (nq, P) layout is 8 lanes wide (6% utilization) and tiles
