@@ -52,13 +52,16 @@ def _msda_core(value, spatial_shapes, sampling_locations,
         px = loc * jnp.asarray([w, h], loc.dtype) - 0.5
         px = px.transpose(0, 2, 1, 3, 4).reshape(b * heads, nq, P, 2)
         npx = nq * P
-        layout = os.environ.get("SNDEPTH_MSDA_COORDS", "flat")
+        layout = os.environ.get("SNDEPTH_MSDA_COORDS", "pmajor")
         if npx % 128 == 0 and layout == "pmajor":
-            # Point-major: consecutive lanes hold the SAME point rank
-            # across 128 BEV-adjacent queries — per-rank image y varies
-            # slowly along a BEV row, so coord tiles get the tight
-            # y-spans the warp kernel's band fast paths want. Costs a
-            # (nq, P) transpose of coords and samples.
+            # Point-major (DEFAULT; r5 A/B at UniAD refscale: encoder
+            # layer 1000 -> 470 ms vs query-major "flat", which itself
+            # beat the r4 "natural" (nq, P) layout 8271 -> 1166):
+            # consecutive lanes hold the SAME point rank across 128
+            # BEV-adjacent queries — per-rank image y varies slowly
+            # along a BEV row, so coord tiles get the tight y-spans the
+            # warp kernel's band fast paths want. Costs a (nq, P)
+            # transpose of coords and samples.
             pxt = px.transpose(0, 2, 1, 3)             # BH, P, nq, 2
             pxf = pxt.reshape(b * heads, npx // 128, 128, 2)
             sampled = bilinear_sampler_zero_pad(v, pxf)

@@ -99,7 +99,9 @@ res = {}
 
 if "full" in blocks:
     step = geonet.make_train_step(cfg)
-    st = state
+    # Own state: the step donates its argument, which would delete the
+    # shared params the other blocks read.
+    st = geonet.create_train_state(cfg)
     st, m = step(st, batch_np)
     _ = float(m["loss_total"])
     st, m = step(st, batch_np)
