@@ -208,9 +208,16 @@ def build_corr_pyramid(fmap1: Array, fmap2: Array,
     pyramid = [corr]
     for _ in range(num_levels - 1):
         bb, h1, w1, h2, w2 = pyramid[-1].shape
-        if h2 < 2 or w2 < 2 or h2 % 2 or w2 % 2:
-            break  # degenerate/odd level (tiny input); stop pyramid early
-        pooled = pyramid[-1].reshape(bb, h1, w1, h2 // 2, 2, w2 // 2, 2)
+        if h2 < 2 or w2 < 2:
+            break  # degenerate level (tiny input); stop pyramid early
+        # torch F.avg_pool2d(2, 2) truncates odd trailing rows/cols —
+        # reproduce it, or odd sizes (full-res KITTI 1/8 = 47x156, even
+        # the canonical 16x52 whose level 2 is 4x13) silently lose the
+        # coarser pyramid levels the reference always has (found r5 via
+        # the full-res train probe: a 49- vs 196-channel corr conv).
+        he, we = h2 // 2 * 2, w2 // 2 * 2
+        pooled = pyramid[-1][:, :, :, :he, :we].reshape(
+            bb, h1, w1, h2 // 2, 2, w2 // 2, 2)
         pyramid.append(pooled.mean(axis=(4, 6)))
     return pyramid
 
@@ -222,9 +229,12 @@ def pool_fmap_pyramid(fmap2: Array, num_levels: int = 4) -> list[Array]:
     out = [fmap2]
     for _ in range(num_levels - 1):
         b, h, w, c = out[-1].shape
-        if h < 2 or w < 2 or h % 2 or w % 2:
+        if h < 2 or w < 2:
             break
-        out.append(out[-1].reshape(b, h // 2, 2, w // 2, 2, c).mean((2, 4)))
+        # Truncate odd dims like torch avg_pool2d (see corr_pyramid).
+        he, we = h // 2 * 2, w // 2 * 2
+        out.append(out[-1][:, :he, :we].reshape(
+            b, h // 2, 2, w // 2, 2, c).mean((2, 4)))
     return out
 
 
