@@ -73,6 +73,26 @@ Landed since (round 4):
   streams both overstate the recoverable time. Both knobs kept,
   default off.
 
+Landed since (round 5):
+* ``gn_build`` fused Pallas BACKWARD — two mirror kernels that
+  ``jax.grad`` the shared pair-contribution helper inside the kernel
+  body (i-kernel: d/d{rot, trans, emb, sq, intrinsics}, cotangents as
+  per-i columns; j-kernel: roles swapped, i+cotangent rows streamed on
+  lanes). Full-res RAFT3D TRAINING 4232 -> 1382 ms/step vs the XLA
+  re-derive, losses matching (tools/raft3d_fullres_train.py). Lesson:
+  in-kernel AD works under Mosaic; padded sublanes must carry finite
+  dummies or 0*inf NaNs the chunk-loss sums.
+* Deformable-sampler coordinate layouts (models/deformable.py): the
+  warp kernel's TARGET tiling is layout-sensitive — lane-packing the
+  (nq, P) coords to 128-wide rows (8271 -> 1166 ms/encoder-layer at
+  UniAD refscale) then P-major ordering (tight per-tile y-spans ->
+  band fast paths; 1000 -> 470 ms) are free exact reshapes, no new
+  kernel needed. SNDEPTH_WARP_PLANE_MB gate raised 6 -> 8 MB for the
+  200x200 TSA value plane (176 -> 11.6 ms).
+* bf16 row-pool operands in the pair photo kernel
+  (SNDEPTH_PHOTO_POOL_DTYPE): parity-tested, benched NEUTRAL at step
+  level — pools are already overlapped. Default f32.
+
 Roadmap:
 * Pallas conv: largely OBSOLETED at the XLA level — the planned
   "4-output-pixel lane packing" is exactly a 2x2 space-to-depth fold,
