@@ -15,9 +15,11 @@ multi_scale_deformable_attn_function.py:11-12`) and its users:
 * :class:`CustomMSDeformableAttention` — the decoder's single-value
   variant with output projection (`decoder.py:133-345`).
 
-JAX autodiff supplies the backward the CUDA code hand-writes. The gather is
-the same reshaped reuse of the bilinear sampler as the RAFT3D correlation
-lookup — one fused XLA gather per level.
+JAX autodiff supplies the backward the CUDA code hand-writes. The gather
+reuses the bilinear sampler (the Pallas warp kernel on TPU, an XLA gather
+elsewhere) with a P-major, 128-lane-packed coordinate layout — the r5
+fix that took reference-scale BEVFormer encoding from 48 s to ~0.5 s per
+layer (SNDEPTH_MSDA_COORDS=pmajor|flat|natural; BASELINE.md UniAD row).
 """
 
 from __future__ import annotations
@@ -60,14 +62,20 @@ def _msda_core(value, spatial_shapes, sampling_locations,
             # consecutive lanes hold the SAME point rank across 128
             # BEV-adjacent queries — per-rank image y varies slowly
             # along a BEV row, so coord tiles get the tight y-spans the
-            # warp kernel's band fast paths want. Costs a (nq, P)
-            # transpose of coords and samples.
+            # warp kernel's band fast paths want. Only the (small) coords
+            # and weights transpose — the weighted point-sum commutes, so
+            # the big sampled tensor is reduced IN P-major order (the
+            # back-transposes were 4 x 6 ms/layer in the r5 trace).
             pxt = px.transpose(0, 2, 1, 3)             # BH, P, nq, 2
             pxf = pxt.reshape(b * heads, npx // 128, 128, 2)
             sampled = bilinear_sampler_zero_pad(v, pxf)
             sampled = sampled.reshape(b * heads, P, nq, dim)
-            sampled = sampled.transpose(0, 2, 1, 3)    # BH, nq, P, D
-        elif npx % 128 == 0 and layout == "flat":
+            wgt = attention_weights[:, :, :, lvl]      # B, nq, H, P
+            wgt = wgt.transpose(0, 2, 3, 1).reshape(
+                b * heads, P, nq, 1)
+            outputs.append(jnp.sum(sampled * wgt, axis=1))  # BH, nq, D
+            continue
+        if npx % 128 == 0 and layout == "flat":
             # Lane-pack the sample coordinates: the sampler treats its
             # target as an (Ht, Wt) plane with Wt on lanes; the natural
             # (nq, P) layout is 8 lanes wide (6% utilization) and tiles
