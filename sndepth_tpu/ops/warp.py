@@ -51,6 +51,14 @@ def _use_pallas(imgs: Array, coords: Array) -> bool:
     # the kernel the reference-scale BEV encoder runs at XLA's ~72M
     # gather-rows/s, ~46 s/frame) is ~6MB of out blocks and fine.
     npix = coords.shape[1] * coords.shape[2]
+    if coords.shape[2] < 32:
+        # The kernel tiles the TARGET plane in 128-lane rows: a narrow
+        # coord layout (e.g. the decoder's natural (nq, P) with P<=8
+        # lanes) pads 16x+ per tile and loses badly to the XLA gather
+        # (r5: UniAD detections 17.9 -> 503 ms when the 8 MB plane gate
+        # admitted it). Callers with bulk point sets lane-pack their
+        # coords to 128-wide rows instead (models/deformable.py).
+        return False
     plane_bytes = (imgs.shape[1] * ((imgs.shape[2] + 127) // 128 * 128)
                    * imgs.shape[3] * 4)
     # 8 MB admits the UniAD refscale TSA value plane (200x200x32 =
