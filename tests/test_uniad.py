@@ -305,3 +305,31 @@ def test_uniad_backbone_dcn_stages():
     dcn_blocks = {k.split("/")[0] for k in keys if "DeformConv2d" in k}
     # stages 0,1 plain (blocks 0-1), stages 2,3 DCN (blocks 2-3)
     assert dcn_blocks == {"_Bottleneck_2", "_Bottleneck_3"}, dcn_blocks
+
+
+def test_uniad_carried_state_dtypes_stable_bf16():
+    """Regression for the cross-frame recompile bug class (r3 prev_bev,
+    r5 track fields): under a bf16 model, EVERY leaf of the carried
+    TrackState must keep the incoming state's dtype, or each chained
+    frame retraces (a hidden ~390 s/step recompile at reference scale)."""
+    from sndepth_tpu.models.track_runtime import empty_tracks
+    from sndepth_tpu.models.uniad_track import TrackState, UniADTrack
+    model = UniADTrack(
+        num_query=12, num_classes=3, embed_dims=32, bev_h=4, bev_w=4,
+        num_cams=2, encoder_layers=1, decoder_layers=1,
+        backbone_blocks=(1, 1, 1, 1), mem_len=2, dtype=jnp.bfloat16)
+    imgs = jnp.zeros((2, 1, 64, 64, 3))
+    lidar2img = jnp.tile(jnp.eye(4)[None, None], (1, 2, 1, 1))
+    state0 = TrackState(
+        prev_bev=jnp.zeros((1, 16, 32)),
+        tracks=empty_tracks(12, 32, 3, 2),
+        next_obj_id=jnp.zeros((), jnp.int32),
+        timestamp=jnp.zeros(()),
+        has_prev=jnp.zeros((), bool))
+    variables = model.init(jax.random.PRNGKey(0), imgs, lidar2img, state0)
+    state1, _ = model.apply(variables, imgs, lidar2img, state0)
+    for a, b in zip(jax.tree_util.tree_leaves(state0),
+                    jax.tree_util.tree_leaves(state1)):
+        assert jnp.asarray(a).dtype == jnp.asarray(b).dtype, (
+            f"carried dtype changed: {jnp.asarray(a).dtype} -> "
+            f"{jnp.asarray(b).dtype}")
